@@ -1,0 +1,159 @@
+"""Vectorized MurmurHash3_x64_128 (h1 lane) + unsigned<->signed codecs.
+
+Byte-compatible reimplementation of the reference hash
+(marbl/Mash ``src/mash/hash.cpp:10-38``: ``getHash`` runs
+``MurmurHash3_x64_128(seq, len, seed, data)`` and keeps the FIRST 8 bytes —
+the little-endian ``h1`` lane — as the 64-bit hash; the murmur3 rounds are
+``src/mash/MurmurHash3.cpp:255-332``). The reference uses 64-bit hashes
+whenever ``alphabet_size**k > 2**32`` (``Sketch.cpp:1136``); for web text the
+alphabet is all bytes so we are always 64-bit.
+
+Everything here is pure numpy over ``uint64`` (wrap-around arithmetic is
+native), so a whole Arrow batch of shingles is hashed with no per-row Python
+— this is the hot loop of the sketcher and the reason sketching stays
+map-only / linearly scalable on a cluster.
+
+Signed encoding: Spark's LongType is signed while Mash orders hashes
+unsigned (``hash.cpp:40-50``). We store ``hash XOR 2**63`` reinterpreted as
+int64 at rest so Spark-native ``sort_array``/``min``/join ordering equals
+unsigned ordering (SURVEY.md §1.2 decision (a)).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+assert sys.byteorder == "little", "murmur3 block loads assume little-endian"
+
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AD432745937F)
+_F1 = np.uint64(0xFF51AFD7ED558CCD)
+_F2 = np.uint64(0xC4CEB9FE1A85EC53)
+_SIGN = np.uint64(0x8000000000000000)
+_U5 = np.uint64(5)
+_U27 = np.uint64(27)
+_U31 = np.uint64(31)
+_U33 = np.uint64(33)
+_U64 = np.uint64(64)
+_ADD1 = np.uint64(0x52DCE729)
+_ADD2 = np.uint64(0x38495AB5)
+
+
+def _rotl64(x: np.ndarray, r: np.uint64) -> np.ndarray:
+    return (x << r) | (x >> (_U64 - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _U33)
+    k = k * _F1
+    k = k ^ (k >> _U33)
+    k = k * _F2
+    k = k ^ (k >> _U33)
+    return k
+
+
+def murmur3_x64_128_h1(rows: np.ndarray, seed: int) -> np.ndarray:
+    """Hash each row of a (n, L) uint8 matrix; return (n,) uint64 h1 lane.
+
+    Matches ``MurmurHash3_x64_128`` (``MurmurHash3.cpp:255-332``) output
+    bytes [0:8] interpreted little-endian, i.e. Mash's ``hash_u.hash64``
+    (``hash.cpp:28-35``).
+    """
+    if rows.ndim != 2 or rows.dtype != np.uint8:
+        raise ValueError("rows must be a 2-D uint8 array")
+    n, length = rows.shape
+    nblocks = length // 16
+
+    h1 = np.full(n, np.uint64(seed), dtype=np.uint64)
+    h2 = h1.copy()
+
+    if nblocks:
+        body = np.ascontiguousarray(rows[:, : nblocks * 16])
+        blocks = body.view("<u8").reshape(n, nblocks * 2)
+        for i in range(nblocks):
+            k1 = blocks[:, 2 * i].copy()
+            k2 = blocks[:, 2 * i + 1].copy()
+            k1 *= _C1
+            k1 = _rotl64(k1, _U31)
+            k1 *= _C2
+            h1 ^= k1
+            h1 = _rotl64(h1, _U27)
+            h1 += h2
+            h1 = h1 * _U5 + _ADD1
+            k2 *= _C2
+            k2 = _rotl64(k2, _U33)
+            k2 *= _C1
+            h2 ^= k2
+            h2 = _rotl64(h2, _U31)
+            h2 += h1
+            h2 = h2 * _U5 + _ADD2
+
+    tail_len = length & 15
+    if tail_len:
+        tail = rows[:, nblocks * 16 :]
+        if tail_len >= 9:
+            k2 = np.zeros(n, dtype=np.uint64)
+            for ti in range(tail_len, 8, -1):  # bytes 15..9 of the switch
+                k2 ^= tail[:, ti - 1].astype(np.uint64) << np.uint64(8 * (ti - 9))
+            k2 *= _C2
+            k2 = _rotl64(k2, _U33)
+            k2 *= _C1
+            h2 ^= k2
+        k1 = np.zeros(n, dtype=np.uint64)
+        for ti in range(min(tail_len, 8), 0, -1):  # bytes 8..1
+            k1 ^= tail[:, ti - 1].astype(np.uint64) << np.uint64(8 * (ti - 1))
+        k1 *= _C1
+        k1 = _rotl64(k1, _U31)
+        k1 *= _C2
+        h1 ^= k1
+
+    ulen = np.uint64(length)
+    h1 ^= ulen
+    h2 ^= ulen
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2  # out[0] = h1 after the final cross-add
+    return h1
+
+
+def murmur3_x64_128_h1_bytes(data: bytes, seed: int) -> int:
+    """Scalar convenience wrapper (tests, tiny inputs)."""
+    row = np.frombuffer(data, dtype=np.uint8).reshape(1, -1)
+    if len(data) == 0:
+        row = np.zeros((1, 0), dtype=np.uint8)
+    return int(murmur3_x64_128_h1(row, seed)[0])
+
+
+def hash_shingles_concat(buf: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Hash every length-k sliding window of a flat uint8 buffer at once.
+
+    Returns (len(buf)-k+1,) uint64. Callers batching many documents
+    concatenate their bytes and discard the k-1 boundary-crossing windows
+    per document (see ``minhash.sketch_batch``) — one vectorized murmur pass
+    per Arrow batch instead of one per document.
+    """
+    if buf.ndim != 1 or buf.dtype != np.uint8:
+        raise ValueError("buf must be a 1-D uint8 array")
+    if len(buf) < k:
+        return np.empty(0, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k)
+    return murmur3_x64_128_h1(np.ascontiguousarray(windows), seed)
+
+
+# ---------------------------------------------------------------------------
+# unsigned <-> signed codecs (SURVEY.md §1.2)
+# ---------------------------------------------------------------------------
+
+
+def encode_signed(u: np.ndarray) -> np.ndarray:
+    """uint64 hash -> int64 with identical ordering (x ^ 2**63)."""
+    return (np.asarray(u, dtype=np.uint64) ^ _SIGN).view(np.int64)
+
+
+def decode_signed(s: np.ndarray) -> np.ndarray:
+    """int64 at-rest value -> original uint64 hash."""
+    return (np.asarray(s, dtype=np.int64).view(np.uint64)) ^ _SIGN
