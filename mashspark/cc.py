@@ -1,0 +1,82 @@
+"""Iterative large-star / small-star connected components over an edge
+DataFrame (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — the algorithm the north rule names).
+
+The reference has no clustering stage (``mash triangle -E`` just emits the
+edge list, ``CommandTriangle.cpp:200-214``); this is our custom physical
+strategy #3 (SURVEY.md §4) turning verified duplicate edges into cluster
+IDs. Converges in O(log n) rounds on pathological chains; each round is
+two groupBy shuffles; per-round ``localCheckpoint`` truncates the lineage
+so plans stay bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of its neighborhood (including u itself)."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect every low neighbor (and u) to the
+    minimum of the low neighborhood."""
+    dir_ = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = dir_.groupBy("u").agg(F.min("v").alias("mn"))
+    out = (
+        dir_.join(m, "u")
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .unionAll(m.select(F.col("u").alias("src"), F.col("mn").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """edges(src, dst) -> labels(doc_id, cluster_id).
+
+    cluster_id = the minimum node id of the component. Nodes that appear
+    in no edge are absent (callers union singletons back, see
+    ``pipeline.assign_clusters``). Convergence check: the small-star
+    output is a fixpoint (star edge set stops changing — compared via
+    count + checksum, cheap aggregations instead of a full except).
+    """
+    cur = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    cur = cur.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig_row = cur.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iterations} rounds")
+
+    # fixpoint edges form stars: src (member) -> dst (root = min id)
+    labels = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id")).distinct()
+    return labels.unionByName(roots).distinct()

@@ -1,0 +1,121 @@
+"""LSH candidate generation: band explode, bucket self-join, skew handling.
+
+Replaces the reference's all-pairs enumerator (``CommandDistance.cpp:195-237``
+blocks of <=4096 pairs per thread) with a banded join so only plausible
+pairs reach the Mash-exact verify pass. Band keys are computed in the
+sketch UDF (``sketch.compute_band_keys``).
+
+Skew strategy (north rule: explicit salting/repartitioning for
+boilerplate-heavy hot buckets):
+
+1. **Exact-duplicate pre-collapse** happens upstream (``pipeline.py``):
+   docs with identical sketches never reach the band join, which removes
+   the dominant web-scale skew source (mirrored/templated pages).
+2. Buckets with <= band_doc_cap docs: plain self-join; AQE skew-join
+   splitting handles residual imbalance.
+3. Buckets with band_doc_cap < n <= hard_bucket_cap: **cross-salt pair
+   enumeration** — docs are salted into g = ceil(n/cap) groups and pairs
+   are produced per salt-pair (p, q), p <= q, so no single task holds a
+   whole mega-bucket.
+4. Buckets with n > hard_bucket_cap: dropped, with the drop count and the
+   number of affected docs returned as metrics (no silent caps) — docs in
+   such buckets still pair through their other, colder bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_bands(sketches: DataFrame) -> DataFrame:
+    """(doc_id, band_idx[], band_key[]) -> (doc_id, band_idx, band_key)."""
+    return (
+        sketches.select(
+            "doc_id", F.explode(F.arrays_zip("band_idx", "band_key")).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+    )
+
+
+def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
+                    hard_bucket_cap: int = 100_000):
+    """Distinct candidate (id_a, id_b) pairs, id_a < id_b, plus skew metrics.
+
+    Returns (pairs_df, metrics_df). metrics_df: one row —
+    (n_buckets, n_hot_buckets, n_dropped_buckets, n_dropped_docs).
+    """
+    bands = explode_bands(sketches)
+
+    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
+    # buckets of size 1 produce no pairs; prune them before the join
+    sized = bands.join(sizes, ["band_idx", "band_key"]).filter(F.col("bucket_n") > 1)
+
+    metrics = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("bucket_n") > band_doc_cap).cast("long")).alias("n_hot_buckets"),
+        F.sum((F.col("bucket_n") > hard_bucket_cap).cast("long")).alias("n_dropped_buckets"),
+        F.sum(
+            F.when(F.col("bucket_n") > hard_bucket_cap, F.col("bucket_n")).otherwise(0)
+        ).alias("n_dropped_docs"),
+    )
+
+    cold = sized.filter(F.col("bucket_n") <= band_doc_cap).drop("bucket_n")
+    hot = sized.filter(
+        (F.col("bucket_n") > band_doc_cap) & (F.col("bucket_n") <= hard_bucket_cap)
+    )
+
+    # --- cold path: plain self-join per bucket (AQE splits residual skew)
+    left = cold.withColumnRenamed("doc_id", "id_a")
+    right = cold.withColumnRenamed("doc_id", "id_b")
+    cold_pairs = left.join(right, ["band_idx", "band_key"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    # --- hot path: cross-salt enumeration
+    hot_pairs = None
+    if True:  # built lazily; empty hot DF short-circuits at runtime via union
+        g = F.ceil(F.col("bucket_n") / F.lit(band_doc_cap)).cast("int")
+        salted = hot.withColumn("g", g).withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.col("g")).cast("int")
+        )
+        # LHS row replicated to every partner salt >= its own; RHS joins on
+        # partner == its salt. Each (bucket, salt_p<=salt_q) pair of groups
+        # is enumerated exactly once, bounding task size to ~cap^2 pairs.
+        lhs = salted.withColumn(
+            "ps", F.explode(F.sequence(F.col("salt"), F.col("g") - 1))
+        ).select(
+            "band_idx", "band_key",
+            F.col("doc_id").alias("id_a"),
+            F.col("salt").alias("salt_a"), "ps",
+        )
+        rhs = salted.select(
+            "band_idx", "band_key",
+            F.col("doc_id").alias("id_b"),
+            F.col("salt").alias("ps"),
+        )
+        hot_pairs = (
+            lhs.join(rhs, ["band_idx", "band_key", "ps"])
+            .filter(
+                (F.col("salt_a") < F.col("ps"))
+                | ((F.col("salt_a") == F.col("ps")) & (F.col("id_a") < F.col("id_b")))
+            )
+            .select("band_idx", "band_key", "id_a", "id_b")
+        )
+        # cross-salt joins may produce (a,b) with id_a > id_b; normalize
+        hot_pairs = hot_pairs.select(
+            "band_idx", "band_key",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+
+    pairs = (
+        cold_pairs.select("id_a", "id_b")
+        .unionByName(hot_pairs.select("id_a", "id_b"))
+        .distinct()
+    )
+    return pairs, metrics

@@ -65,33 +65,50 @@ class SketchParams:
 class LSHParams:
     """Banded-LSH candidate-generation parameters.
 
-    We use ``num_perm = bands * rows`` universal-hash permutations of the
-    shingle-hash set (the classic banding scheme, same family as Spark
-    MLlib's MinHashLSH) rather than slicing the bottom-k sketch into
-    positional bands: a single inserted low hash shifts every positional
-    band boundary, destroying band agreement, whereas permutation minima
-    are shift-free. Candidate recall at Jaccard j is
-    ``1 - (1 - j**rows) ** bands``.
+    Scheme: **residue-class banding of the bottom-k sketch**. Each sketch
+    hash h is assigned to band ``h & (bands-1)`` (bands = power of two);
+    a band's key is an order-independent fingerprint (xor-fold of mixed
+    elements + cardinality) of the doc's sketch elements in that residue
+    class. Two docs collide in a band iff their sketch∩class subsets are
+    identical.
 
-    Defaults (bands=64, rows=4, 256 perms) give recall > 0.9998 at j=0.7
-    and > 0.984 at j=0.5.
+    Why not the textbook alternatives:
+    * positional bands over the sorted bottom-k sketch — a single inserted
+      low hash shifts every later band boundary, so near-identical docs
+      miss every band (shift fragility);
+    * extra per-band minhash permutations (Spark MLlib MinHashLSH style) —
+      shift-free but costs O(n_shingles × bands·rows) extra hashing per
+      doc; residue-class banding is O(s) per doc on top of the sketch we
+      already computed, and derives entirely from the Mash sketch.
 
-    band_doc_cap: bands whose bucket exceeds this many docs are handled by
-    the skew path (salting / capped enumeration with logged drops) —
-    see ``lsh.py``.
+    Band-match probability at sketch overlap f (= fraction of union
+    sketches shared; f = 2j/(1+j) for full sketches under Jaccard j) is
+    ~ f**(u/bands) with u = union sketch size, so with s=1000, bands=128:
+    j=0.7 -> per-band ~0.18, overall recall ~1-1e-11; j=0.5 -> ~0.97;
+    j=0.3 -> ~0.11 (good rejection). Verified empirically in
+    tests/test_pipeline.py; key collisions only ADD candidates (verify
+    pass removes them), they can never lose a true pair.
+
+    band_doc_cap: buckets above this size go through the cross-salt pair
+    enumeration path; hard_bucket_cap: buckets above this are dropped with
+    logged drop metrics (lsh.py).
     """
 
-    bands: int = 64
-    rows: int = 4
-    band_doc_cap: int = 2000
-    perm_seed: int = 7
+    bands: int = 128
+    band_doc_cap: int = 1000
+    hard_bucket_cap: int = 100_000
 
-    @property
-    def num_perm(self) -> int:
-        return self.bands * self.rows
+    def __post_init__(self):
+        if self.bands & (self.bands - 1):
+            raise ValueError("bands must be a power of two")
 
-    def candidate_recall(self, j: float) -> float:
-        return 1.0 - (1.0 - j**self.rows) ** self.bands
+    def candidate_recall(self, j: float, s: int = 1000) -> float:
+        import math
+
+        f = 2.0 * j / (1.0 + j)
+        u = min(2 * s, int(round(s * (1.0 + (1.0 - j)))))  # approx union sketch size
+        per_band = f ** (u / self.bands)
+        return 1.0 - (1.0 - per_band) ** self.bands if per_band < 1 else 1.0
 
     def to_dict(self) -> dict:
         return asdict(self)

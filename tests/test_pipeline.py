@@ -1,0 +1,121 @@
+"""End-to-end dedup pipeline vs the brute-force Mash-semantics oracle
+(SURVEY.md §5 item 4): dup-pair recall >= 0.99 (gate; expected 1.0 at these
+params), precision == 1.0 (verification is Mash-exact), and exact cluster
+agreement with union-find over the oracle edges."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mashspark.params import LSHParams, PipelineConfig, SketchParams
+from mashspark.pipeline import dedup_pipeline
+from mashspark.webtext import webtext_spark_df
+from tests import oracle
+
+N_BASE = 50
+SEED = 42
+THRESHOLD = 0.7
+# smaller s than production default keeps the brute-force oracle fast while
+# exercising identical code paths
+PARAMS = SketchParams(k=21, s=256, seed=42)
+LSH = LSHParams(bands=64, band_doc_cap=50)  # low cap to exercise the salted hot path
+CONFIG = PipelineConfig(sketch=PARAMS, lsh=LSH, jaccard_threshold=THRESHOLD)
+
+
+@pytest.fixture(scope="module")
+def webtext(spark):
+    df = webtext_spark_df(spark, n_base=N_BASE, seed=SEED)
+    pdf = df.select("doc_id", "text").toPandas().sort_values("doc_id")
+    return df, pdf
+
+
+@pytest.fixture(scope="module")
+def truth(webtext):
+    _, pdf = webtext
+    sketches = oracle.sketch_all(pdf["text"].tolist(), PARAMS)
+    pairs = oracle.truth_pairs(sketches, PARAMS, THRESHOLD)
+    clusters = oracle.truth_clusters(len(pdf), pairs)
+    return sketches, pairs, clusters
+
+
+@pytest.fixture(scope="module")
+def result(spark, webtext):
+    df, _ = webtext
+    res = dedup_pipeline(df, CONFIG)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in res.pairs.select("id_a", "id_b").collect()
+    }
+    exact = {r.doc_id: r.rep_id for r in res.exact_groups.collect()}
+    clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    return res, pairs, exact, clusters
+
+
+def _expand_detected_pairs(rep_pairs, exact):
+    """rep-level verified pairs + exact groups -> doc-level detected pairs."""
+    import collections
+
+    members = collections.defaultdict(list)
+    for doc, rep in exact.items():
+        members[rep].append(doc)
+    out = set()
+    for a, b in rep_pairs:
+        for x in members[a]:
+            for y in members[b]:
+                out.add((min(x, y), max(x, y)))
+    for rep, ms in members.items():
+        for x, y in itertools.combinations(sorted(ms), 2):
+            out.add((x, y))
+    return out
+
+
+def test_sketches_match_oracle(result, truth, webtext):
+    """Spark UDF sketches == numpy oracle sketches, bit for bit."""
+    from mashspark.hashing import decode_signed
+
+    res, _, _, _ = result
+    oracle_sk, _, _ = truth
+    got = {
+        r.doc_id: decode_signed(np.array(r.sketch, dtype=np.int64))
+        for r in res.sketches.select("doc_id", "sketch").collect()
+    }
+    assert len(got) == len(oracle_sk)
+    for i, osk in enumerate(oracle_sk):
+        assert np.array_equal(got[i], osk), f"doc {i}"
+
+
+def test_dup_pair_recall_and_precision(result, truth):
+    _, rep_pairs, exact, _ = result
+    _, truth_pairs, _ = truth
+    detected = _expand_detected_pairs(rep_pairs, exact)
+    assert truth_pairs, "fixture must plant duplicate pairs"
+    missed = truth_pairs - detected
+    recall = 1 - len(missed) / len(truth_pairs)
+    assert recall >= 0.99, f"recall {recall}: missed {sorted(missed)[:10]}"
+    false = detected - truth_pairs
+    assert not false, f"verification must be exact; false pairs {sorted(false)[:10]}"
+
+
+def test_cluster_agreement(result, truth):
+    _, _, _, clusters = result
+    _, _, truth_clusters = truth
+    assert clusters == truth_clusters
+
+
+def test_partitioning_invariance(spark, webtext, result):
+    """Same clusters regardless of input partitioning (determinism under
+    different task layouts — SURVEY.md §5 item 6)."""
+    df, _ = webtext
+    _, _, _, clusters = result
+    res2 = dedup_pipeline(df.repartition(7, "lang"), CONFIG)
+    clusters2 = {r.doc_id: r.cluster_id for r in res2.clusters.collect()}
+    assert clusters2 == clusters
+
+
+def test_lsh_metrics_shape(result):
+    res, _, _, _ = result
+    row = res.lsh_metrics.collect()[0]
+    assert row.n_buckets > 0
+    assert row.n_dropped_buckets == 0
