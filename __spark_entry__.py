@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dedup query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data extras); each takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for the
+SQL-expressible subset; MinHash/SimHash/SRP operators (murmur3-based, not
+expressible in SQL) get rows-only checks.
+
+Column names are aligned between both sides (the driver hash-compares by
+sorted column name).
 """
 
 from __future__ import annotations
@@ -12,27 +16,391 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mashspark.params import LSHParams, PipelineConfig, SketchParams
+from mashspark.pipeline import dedup_pipeline
+
+SF001 = "/root/testdata/sf0.001"
+
+_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that", "this", "with"]
+_PUNCT = ".,!?;:"
+
+# pipeline results are reused by several queries; memoize per (app, sf_dir)
+_PIPELINE_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIPELINE_CACHE:
+        cfg = PipelineConfig(
+            sketch=SketchParams(k=21, s=1000, seed=42),
+            lsh=LSHParams(bands=128),
+            jaccard_threshold=0.7,
+        )
+        res = dedup_pipeline(_docs(spark, sf_dir), cfg)
+        res.clusters.persist().count()
+        res.pairs.persist().count()
+        _PIPELINE_CACHE[key] = res
+    return _PIPELINE_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clustering of sf0.001 documents -> cluster sizes."""
+    res = _pipeline(spark, SF001)
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_exact_dup_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.withColumnRenamed("doc_id", "id_a")
+    b = d.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "text")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(c, " ")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    c = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_stop = F.lit(0).cast("long")
+    for w in _STOPWORDS:
+        pat = f" {w} "
+        n_stop = n_stop + (
+            (F.length(padded) - F.length(F.expr(f"replace(concat(' ', lower(text), ' '), ' {w} ', '')")))
+            / len(pat)
+        ).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_obs"),
+        (F.length(c) - F.length(F.translate(c, _PUNCT, ""))).cast("long").alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+def _q_shingle_cardinality(spark, sf_dir):
+    from mashspark.textstats import shingle_cardinality
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 21)
+    return shingle_cardinality(d, k=21)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-3), i -> "
+                "concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.withColumnRenamed("doc_id", "id_a")
+    b = grams.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jacc",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jacc") >= 0.5)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+    return out
+
+
+def _q_lang_distribution(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def _q_fingerprint_group_sizes(spark, sf_dir):
+    from mashspark.textstats import fingerprints
+
+    fp = fingerprints(_docs(spark, sf_dir))
+    groups = fp.groupBy("fp64").agg(F.count("*").alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count("*").alias("n_groups"))
+
+
+def _q_knn_topk(spark, sf_dir):
+    from mashspark.ann import knn_bruteforce
+
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    out = knn_bruteforce(vecs, queries, top_k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# --- MinHash / SimHash / SRP operators (not SQL-expressible: murmur3) ---
+
+
+def _q_minhash_cluster_sizes(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    sizes = res.clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+def _q_minhash_dup_pairs(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    return res.pairs.select("id_a", "id_b", "common", "denom")
+
+
+def _q_sketch_cardinalities(spark, sf_dir):
+    from mashspark.info import sketch_cardinalities
+
+    res = _pipeline(spark, sf_dir)
+    return sketch_cardinalities(res.sketches)
+
+
+def _q_simhash_dup_pairs(spark, sf_dir):
+    from mashspark.simhash import simhash_documents, simhash_dup_pairs
+
+    sigs = simhash_documents(_docs(spark, sf_dir), k=8)
+    return simhash_dup_pairs(sigs, max_hamming=3)
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    """Exact embedding-cosine pairs >= 0.4 over a capped id range
+    (fixture embeddings are near-random: max pairwise cosine ~0.48, so a
+    production-style 0.9 threshold is vacuous here). Oracle-checked via
+    DuckDB list_cosine_similarity."""
+    from mashspark.ann import _cos_expr
+
+    v = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _cos_expr(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def _q_srp_bucket_stats(spark, sf_dir):
+    """SRP-LSH bucket-size distribution (the ANN scale path's partitioning
+    behavior; murmur-free but plane-seed-dependent, so rows-only)."""
+    from mashspark.ann import make_srp_udf
+
+    v = _emb(spark, sf_dir)
+    dim = len(v.select("embedding").first()["embedding"])
+    udf = make_srp_udf(dim, n_bits=8)
+    buckets = v.select(udf(F.col("embedding")).alias("bucket"))
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(F.count("*").alias("n_buckets"))
+
+
+def _q_screen_boilerplate(spark, sf_dir):
+    """Containment screen: are the 5 largest docs' sketches contained in
+    the rest of the corpus?"""
+    from mashspark.params import LSHParams, SketchParams
+    from mashspark.screen import screen
+    from mashspark.sketch import sketch_documents
+
+    sp = SketchParams(k=21, s=1000, seed=42)
+    docs = _docs(spark, sf_dir)
+    refs = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(5)
+    refs_sk = sketch_documents(refs, sp, LSHParams())
+    rest = docs.join(refs.select("doc_id"), "doc_id", "left_anti")
+    return screen(refs_sk, rest, sp).select(
+        "ref_id", "shared", "denom", F.round("identity", 6).alias("identity_r")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_stats": _q_doc_stats,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dup_pairs": _q_exact_dup_pairs,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "shingle_cardinality": _q_shingle_cardinality,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_distribution": _q_lang_distribution,
+        "fingerprint_group_sizes": _q_fingerprint_group_sizes,
+        "knn_topk": _q_knn_topk,
+        "minhash_cluster_sizes": _q_minhash_cluster_sizes,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "sketch_cardinalities": _q_sketch_cardinalities,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "srp_bucket_stats": _q_srp_bucket_stats,
+        "screen_boilerplate": _q_screen_boilerplate,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = " + ".join(
+    f"CAST((length(' ' || lower(text) || ' ') - "
+    f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    for w in _STOPWORDS
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY lang, source
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(length(text) - length(translate(text, '{_PUNCT}', '')) AS BIGINT) AS n_punct,
+                   CAST({_STOP_SQL} AS BIGINT) AS n_stopwords
+            FROM documents
+        """,
+        "shingle_cardinality": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 19)) AS i
+                FROM documents WHERE length(text) >= 21
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
+                       AS n_shingles
+            FROM pos GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3
+            ),
+            pos AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                       ws[CAST(i AS INT)+2] AS gram
+                FROM pos
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b, i.n_inter, ca.n AS n_a, cb.n AS n_b
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.id_a
+            JOIN counts cb ON cb.doc_id = i.id_b
+            WHERE i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter) >= 0.5
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "fingerprint_group_sizes": """
+            WITH g AS (
+                SELECT md5(text) AS m, count(*) AS group_size
+                FROM documents GROUP BY md5(text)
+            )
+            SELECT group_size, count(*) AS n_groups FROM g GROUP BY group_size
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "knn_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, v.embedding) AS cos_sim
+                FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+                WHERE q.vec_id < 20
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }

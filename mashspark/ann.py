@@ -1,0 +1,116 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and an
+LSH-bucketed approximate variant (scale path), plus embedding-cosine
+near-duplicate pairs (task brief: similarity search + embedding near-dup).
+
+Brute force stays entirely JVM-side: the query set is broadcast, the dot
+product is ``aggregate(zip_with(...))`` over array<float> columns (no
+Python in the loop), ranking is a window ``row_number``. The scale path
+buckets vectors by random-hyperplane signs (SRP-LSH) so only same-bucket
+pairs are scored — the bucketing UDF is vectorized numpy over Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _cos_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / F.greatest(na * nb, F.lit(1e-30))
+
+
+def knn_bruteforce(vectors: DataFrame, queries: DataFrame, top_k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    queries is assumed small (it is broadcast); vectors can be arbitrarily
+    large — the scan streams once, no shuffle until the per-query top-k
+    (which AQE coalesces; at scale use the SRP variant below).
+    Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _cos_expr(
+                F.col("qvec").cast("array<double>"), F.col("nvec").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def make_srp_udf(dim: int, n_bits: int = 16, seed: int = 11):
+    """Signed-random-projection bucket id (int64) per embedding."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf(LongType())
+    def srp_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (mat @ planes) > 0
+        buckets = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(buckets.astype(np.int64))
+
+    return srp_udf
+
+
+def embedding_dup_pairs(vectors: DataFrame, min_cos: float = 0.95,
+                        n_bits: int = 12, seed: int = 11,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """Approximate embedding-cosine near-dup pairs via SRP bucketing.
+
+    Only pairs sharing an SRP bucket are scored (missed-pair probability
+    for cos >= 0.95 at 12 bits: (1 - (1-acos(0.95)/pi)**12) ... mitigate
+    by multiple tables if needed; exact scoring prunes false positives).
+    Output: (id_a, id_b, cos_sim).
+    """
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    udf = make_srp_udf(dim, n_bits=n_bits, seed=seed)
+    b = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        udf(F.col(vec_col)).alias("bucket"),
+    )
+    left = b.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _cos_expr(
+                F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+        .distinct()
+    )

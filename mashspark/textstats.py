@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines — token counting,
+quality scoring, language ID, document fingerprinting, shingle
+cardinality. All JVM-side column expressions where possible (whole-stage
+codegen); the only Python is the exact-distinct-shingle counter, which is
+a vectorized Arrow UDF sharing the murmur core.
+
+These are first-class ``queries()`` operators (task brief: "operations a
+large-scale training-data pipeline would need"), each with a DuckDB-SQL
+oracle in ``__spark_entry__.oracle_sql`` where expressible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from .hashing import encode_signed, hash_shingles_concat, murmur3_x64_128_h1
+
+PUNCT = ".,!?;:"
+_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that", "this", "with"]
+
+
+def token_count(col):
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def punct_count(col):
+    """Occurrences of .,!?;: — via translate so the same expression is
+    valid in the DuckDB oracle."""
+    return (F.length(col) - F.length(F.translate(col, PUNCT, ""))).cast("long")
+
+
+def digit_ratio(col):
+    return (F.length(col) - F.length(F.regexp_replace(col, "[0-9]", ""))) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def stopword_count(col):
+    """Total occurrences of a fixed 10-word English stopword list as
+    whole words (language-ID heuristic feature)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    total = F.lit(0).cast("long")
+    for w in _STOPWORDS:
+        pat = f" {w} "
+        # non-overlapping occurrence count; whole-word via space padding
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / len(pat)
+        ).cast("long")
+    return total
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, punctuation count, digit
+    ratio, stopword density, mean token length."""
+    c = F.col(text_col)
+    toks = token_count(c)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars_obs"),
+        toks.alias("n_tokens"),
+        punct_count(c).alias("n_punct"),
+        F.round(digit_ratio(c), 6).alias("digit_ratio"),
+        stopword_count(c).alias("n_stopwords"),
+        F.round(
+            (F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(toks, F.lit(1))), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Tiny stopword-vote language classifier (en/de/fr heuristic).
+
+    Real language ID is a model; this is the n-gram/stopword heuristic tier
+    used as a cheap pre-filter in webtext pipelines. Pure column exprs.
+    """
+    votes = {
+        "en": ["the", "and", "of", "to", "is"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+    }
+    c = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    score_cols = []
+    for lang, words in votes.items():
+        s = F.lit(0).cast("long")
+        for w in words:
+            pat = f" {w} "
+            s = s + (
+                (F.length(c) - F.length(F.replace(c, F.lit(pat), F.lit("")))) / len(pat)
+            ).cast("long")
+        score_cols.append(s.alias(f"score_{lang}"))
+    scored = df.select(F.col(id_col), F.col(text_col), *score_cols)
+    best = F.greatest(*[F.col(f"score_{l}") for l in votes])
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("score_en") == best, F.lit("en"))
+        .when(F.col("score_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+@pandas_udf(LongType())
+def distinct_shingles_udf(texts: pd.Series, k_ser: pd.Series) -> pd.Series:
+    """Exact distinct byte-k-gram count per doc (A5 exact variant).
+
+    Vectorized: one murmur pass over the batch's concatenated bytes, then
+    per-doc np.unique on 64-bit hashes (collision probability negligible
+    and identical to how the sketcher sees shingles)."""
+    k = int(k_ser.iloc[0])
+    bufs = [np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8) for t in texts.fillna("")]
+    lens = [len(b) for b in bufs]
+    big = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
+    all_h = hash_shingles_concat(big, k, 42)
+    out = np.zeros(len(bufs), dtype=np.int64)
+    off = 0
+    for i, blen in enumerate(lens):
+        if blen >= k:
+            nk = blen - k + 1
+            out[i] = len(np.unique(all_h[off : off + nk]))
+        off += blen
+    return pd.Series(out)
+
+
+def shingle_cardinality(df: DataFrame, k: int = 21, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        distinct_shingles_udf(F.col(text_col), F.lit(k)).alias("n_shingles"),
+    )
+
+
+@pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """64-bit document fingerprint = murmur3_x64_128 h1 of the full utf-8
+    bytes, sign-flip-encoded (content-hash dedup key)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    vals = texts.fillna("").astype(str)
+    for i, t in enumerate(vals):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).reshape(1, -1)
+        if b.shape[1] == 0:
+            b = np.zeros((1, 0), dtype=np.uint8)
+        out[i] = encode_signed(murmur3_x64_128_h1(b, 42))[0]
+    return pd.Series(out)
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), fingerprint_udf(F.col(text_col)).alias("fp64"))
