@@ -48,7 +48,46 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already smallish, post-verify)
+    edge list and run union-find on the driver. Chosen only below
+    ``driver_threshold`` edges; the distributed star algorithm is the
+    scale path. Verified dup edges are orders of magnitude fewer than
+    docs, so this path also matters in production for mid-size runs."""
+    import numpy as np
+
+    rows = edges.toPandas()
+    src = rows["src"].to_numpy(dtype=np.int64)
+    dst = rows["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    m = len(src)
+    a_idx, b_idx = inv[:m], inv[m:]
+    for i in range(m):
+        ra, rb = find(a_idx[i]), find(b_idx[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    # min node id per component as the label
+    import pandas as pd
+
+    lab = pd.DataFrame({"root": roots, "node": nodes})
+    mins = lab.groupby("root")["node"].transform("min")
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": mins.to_numpy()})
+    return edges.sparkSession.createDataFrame(out)
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
     """edges(src, dst) -> labels(doc_id, cluster_id).
 
     cluster_id = the minimum node id of the component. Nodes that appear
@@ -56,11 +95,19 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     ``pipeline.assign_clusters``). Convergence check: the small-star
     output is a fixpoint (star edge set stops changing — compared via
     count + checksum, cheap aggregations instead of a full except).
+
+    Hybrid physical strategy: below ``driver_threshold`` edges the label
+    assignment collapses to a driver union-find (one job + one collect);
+    above it, iterative large-star/small-star runs fully distributed.
+    Both produce identical labels (tests assert this).
     """
     cur = edges.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
+
+    if driver_threshold > 0 and cur.count() <= driver_threshold:
+        return _driver_union_find(cur)
 
     prev_sig = None
     for _ in range(max_iterations):

@@ -129,6 +129,10 @@ class PipelineConfig:
     max_distance: float | None = None
     max_pvalue: float | None = None
     cc_max_iterations: int = 25
+    # below this many edges, CC runs as a driver union-find (identical
+    # labels, one job); above, distributed large/small-star. 0 = always
+    # distributed.
+    cc_driver_threshold: int = 2_000_000
 
     def to_dict(self) -> dict:
         d = {
@@ -138,5 +142,6 @@ class PipelineConfig:
             "max_distance": self.max_distance,
             "max_pvalue": self.max_pvalue,
             "cc_max_iterations": self.cc_max_iterations,
+            "cc_driver_threshold": self.cc_driver_threshold,
         }
         return d

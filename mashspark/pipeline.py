@@ -101,7 +101,11 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     )
     edges = rep_edges.unionByName(member_edges)
 
-    comp = _cc.connected_components(edges, max_iterations=config.cc_max_iterations)
+    comp = _cc.connected_components(
+        edges,
+        max_iterations=config.cc_max_iterations,
+        driver_threshold=config.cc_driver_threshold,
+    )
     all_ids = sketches.select("doc_id")
     clusters = (
         all_ids.join(comp, "doc_id", "left")
