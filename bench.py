@@ -26,8 +26,15 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "26000"))
-SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
+N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "200000"))
+MIN_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_WORDS", "100"))
+MAX_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WORDS", "600"))
+# N -> 4N scaling pair. Default N=2 (local[2] vs local[8]): this sandbox
+# VM delivers linear CPU only up to ~8 busy vCPUs (measured: aggregate
+# numpy throughput 1/8/16/32 procs = 0.32/2.5/4.4/6.2 G ops/s, i.e. 8->32
+# is capped at 2.45x by the HOST, not by Spark) — see BENCH/BASELINE.md.
+# On real hardware with >=32 dedicated cores set SPARK_GRAFT_SCALE_LOW=8.
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -61,7 +68,10 @@ def ensure_webtext(spark, path: str = WEBTEXT_PATH, n_base: int = N_BASE):
     from mashspark.webtext import webtext_spark_distributed
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        df = webtext_spark_distributed(spark, n_base=n_base, num_partitions=CPUS * 2)
+        df = webtext_spark_distributed(
+            spark, n_base=n_base, num_partitions=CPUS * 4,
+            min_words=MIN_WORDS, max_words=MAX_WORDS,
+        )
         df.select("doc_id", "url", "text", "lang").write.mode("overwrite").parquet(path)
     return path
 
@@ -70,6 +80,7 @@ def scale_run(cores: int, path: str):
     """One measured pipeline run at local[cores]; prints one JSON line."""
     from mashspark.session import get_spark
 
+    os.environ.setdefault("MASHSPARK_DRIVER_MEM", "48g")
     spark = get_spark(cores=cores, shuffle_partitions=cores * 2,
                       app_name=f"bench-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,6 +103,7 @@ def main():
     queries: dict[str, float] = {}
     extra: dict = {}
 
+    os.environ.setdefault("MASHSPARK_DRIVER_MEM", "48g")
     spark = get_spark(cores=CPUS, shuffle_partitions=CPUS * 2, app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

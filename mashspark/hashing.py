@@ -120,6 +120,67 @@ def murmur3_x64_128_h1(rows: np.ndarray, seed: int) -> np.ndarray:
     return h1
 
 
+def murmur3_x64_128_both(rows: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Both 64-bit lanes (h1, h2) of MurmurHash3_x64_128 per row — used as
+    a 128-bit fingerprint (e.g. of a whole sketch) where 64 bits would
+    collide at 10^12-row scale. Same rounds as ``murmur3_x64_128_h1`` with
+    the final ``h2 += h1`` kept."""
+    if rows.ndim != 2 or rows.dtype != np.uint8:
+        raise ValueError("rows must be a 2-D uint8 array")
+    n, length = rows.shape
+    nblocks = length // 16
+    h1 = np.full(n, np.uint64(seed), dtype=np.uint64)
+    h2 = h1.copy()
+    if nblocks:
+        body = np.ascontiguousarray(rows[:, : nblocks * 16])
+        blocks = body.view("<u8").reshape(n, nblocks * 2)
+        for i in range(nblocks):
+            k1 = blocks[:, 2 * i].copy()
+            k2 = blocks[:, 2 * i + 1].copy()
+            k1 *= _C1
+            k1 = _rotl64(k1, _U31)
+            k1 *= _C2
+            h1 ^= k1
+            h1 = _rotl64(h1, _U27)
+            h1 += h2
+            h1 = h1 * _U5 + _ADD1
+            k2 *= _C2
+            k2 = _rotl64(k2, _U33)
+            k2 *= _C1
+            h2 ^= k2
+            h2 = _rotl64(h2, _U31)
+            h2 += h1
+            h2 = h2 * _U5 + _ADD2
+    tail_len = length & 15
+    if tail_len:
+        tail = rows[:, nblocks * 16 :]
+        if tail_len >= 9:
+            k2 = np.zeros(n, dtype=np.uint64)
+            for ti in range(tail_len, 8, -1):
+                k2 ^= tail[:, ti - 1].astype(np.uint64) << np.uint64(8 * (ti - 9))
+            k2 *= _C2
+            k2 = _rotl64(k2, _U33)
+            k2 *= _C1
+            h2 ^= k2
+        k1 = np.zeros(n, dtype=np.uint64)
+        for ti in range(min(tail_len, 8), 0, -1):
+            k1 ^= tail[:, ti - 1].astype(np.uint64) << np.uint64(8 * (ti - 1))
+        k1 *= _C1
+        k1 = _rotl64(k1, _U31)
+        k1 *= _C2
+        h1 ^= k1
+    ulen = np.uint64(length)
+    h1 ^= ulen
+    h2 ^= ulen
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2
+    h2 += h1
+    return h1, h2
+
+
 def murmur3_x64_128_h1_bytes(data: bytes, seed: int) -> int:
     """Scalar convenience wrapper (tests, tiny inputs)."""
     row = np.frombuffer(data, dtype=np.uint8).reshape(1, -1)
@@ -128,20 +189,32 @@ def murmur3_x64_128_h1_bytes(data: bytes, seed: int) -> int:
     return int(murmur3_x64_128_h1(row, seed)[0])
 
 
-def hash_shingles_concat(buf: np.ndarray, k: int, seed: int) -> np.ndarray:
+def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
+                         chunk_windows: int = 4_000_000) -> np.ndarray:
     """Hash every length-k sliding window of a flat uint8 buffer at once.
 
     Returns (len(buf)-k+1,) uint64. Callers batching many documents
     concatenate their bytes and discard the k-1 boundary-crossing windows
     per document (see ``minhash.sketch_batch``) — one vectorized murmur pass
     per Arrow batch instead of one per document.
+
+    Processes in chunks of ``chunk_windows`` windows so the materialized
+    (n, k) window matrix stays bounded (~chunk * k bytes) regardless of
+    Arrow batch size.
     """
     if buf.ndim != 1 or buf.dtype != np.uint8:
         raise ValueError("buf must be a 1-D uint8 array")
-    if len(buf) < k:
+    n = len(buf) - k + 1
+    if n <= 0:
         return np.empty(0, dtype=np.uint64)
     windows = np.lib.stride_tricks.sliding_window_view(buf, k)
-    return murmur3_x64_128_h1(np.ascontiguousarray(windows), seed)
+    if n <= chunk_windows:
+        return murmur3_x64_128_h1(np.ascontiguousarray(windows), seed)
+    out = np.empty(n, dtype=np.uint64)
+    for lo in range(0, n, chunk_windows):
+        hi = min(lo + chunk_windows, n)
+        out[lo:hi] = murmur3_x64_128_h1(np.ascontiguousarray(windows[lo:hi]), seed)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -29,17 +29,9 @@ from pyspark.sql import functions as F
 
 
 def explode_bands(sketches: DataFrame) -> DataFrame:
-    """(doc_id, band_idx[], band_key[]) -> (doc_id, band_idx, band_key)."""
-    return (
-        sketches.select(
-            "doc_id", F.explode(F.arrays_zip("band_idx", "band_key")).alias("b")
-        )
-        .select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_key").alias("band_key"),
-        )
-    )
+    """(doc_id, band_key[]) -> (doc_id, band_key). The residue class is
+    already folded into each key, so one int64 is the full bucket id."""
+    return sketches.select("doc_id", F.explode("band_key").alias("band_key"))
 
 
 def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
@@ -49,11 +41,21 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     Returns (pairs_df, metrics_df). metrics_df: one row —
     (n_buckets, n_hot_buckets, n_dropped_buckets, n_dropped_docs).
     """
+    from pyspark.sql import Window
+
     bands = explode_bands(sketches)
 
-    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
-    # buckets of size 1 produce no pairs; prune them before the join
-    sized = bands.join(sizes, ["band_idx", "band_key"]).filter(F.col("bucket_n") > 1)
+    # bucket sizes via window over the same band-key shuffle (one exchange,
+    # not groupBy+join back); buckets of size 1 produce no pairs — prune
+    w = Window.partitionBy("band_key")
+    sized = (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") > 1)
+        .localCheckpoint(eager=False)
+    )
+    sizes = sized.groupBy("band_key").agg(
+        F.first("bucket_n").alias("bucket_n")
+    )
 
     metrics = sizes.agg(
         F.count("*").alias("n_buckets"),
@@ -72,7 +74,7 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     # --- cold path: plain self-join per bucket (AQE splits residual skew)
     left = cold.withColumnRenamed("doc_id", "id_a")
     right = cold.withColumnRenamed("doc_id", "id_b")
-    cold_pairs = left.join(right, ["band_idx", "band_key"]).filter(
+    cold_pairs = left.join(right, ["band_key"]).filter(
         F.col("id_a") < F.col("id_b")
     )
 
@@ -89,26 +91,26 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
         lhs = salted.withColumn(
             "ps", F.explode(F.sequence(F.col("salt"), F.col("g") - 1))
         ).select(
-            "band_idx", "band_key",
+            "band_key",
             F.col("doc_id").alias("id_a"),
             F.col("salt").alias("salt_a"), "ps",
         )
         rhs = salted.select(
-            "band_idx", "band_key",
+            "band_key",
             F.col("doc_id").alias("id_b"),
             F.col("salt").alias("ps"),
         )
         hot_pairs = (
-            lhs.join(rhs, ["band_idx", "band_key", "ps"])
+            lhs.join(rhs, ["band_key", "ps"])
             .filter(
                 (F.col("salt_a") < F.col("ps"))
                 | ((F.col("salt_a") == F.col("ps")) & (F.col("id_a") < F.col("id_b")))
             )
-            .select("band_idx", "band_key", "id_a", "id_b")
+            .select("band_key", "id_a", "id_b")
         )
         # cross-salt joins may produce (a,b) with id_a > id_b; normalize
         hot_pairs = hot_pairs.select(
-            "band_idx", "band_key",
+            "band_key",
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         ).filter(F.col("id_a") != F.col("id_b"))

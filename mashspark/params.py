@@ -81,20 +81,26 @@ class LSHParams:
       doc; residue-class banding is O(s) per doc on top of the sketch we
       already computed, and derives entirely from the Mash sketch.
 
-    Band-match probability at sketch overlap f (= fraction of union
-    sketches shared; f = 2j/(1+j) for full sketches under Jaccard j) is
-    ~ f**(u/bands) with u = union sketch size, so with s=1000, bands=128:
-    j=0.7 -> per-band ~0.18, overall recall ~1-1e-11; j=0.5 -> ~0.97;
-    j=0.3 -> ~0.11 (good rejection). Verified empirically in
-    tests/test_pipeline.py; key collisions only ADD candidates (verify
-    pass removes them), they can never lose a true pair.
+    Banding runs over the bottom-``prefix`` PREFIX of the sketch (itself a
+    valid bottom-k sketch of the same hash stream). Band-match probability
+    at sketch overlap f (= fraction of union sketches shared; f = 2j/(1+j)
+    under Jaccard j) is ~ f**(u/bands) with u = union prefix-sketch size,
+    so fewer elements per band -> higher per-band match rate -> fewer
+    bands needed for the same recall. Defaults (prefix=128, bands=32,
+    ~4.7 elements/band): j=0.7 -> per-band ~0.39, recall ~1-1e-7;
+    j=0.5 -> ~0.98; j=0.1 -> per-band ~4e-6 (strong rejection). A
+    128-band full-sketch scheme needs 4x the exploded rows for comparable
+    recall at j=0.7. Verified empirically in tests/test_pipeline.py; key
+    collisions only ADD candidates (the Mash-exact verify pass removes
+    them), they can never lose a true pair.
 
     band_doc_cap: buckets above this size go through the cross-salt pair
     enumeration path; hard_bucket_cap: buckets above this are dropped with
     logged drop metrics (lsh.py).
     """
 
-    bands: int = 128
+    bands: int = 32
+    prefix: int = 128
     band_doc_cap: int = 1000
     hard_bucket_cap: int = 100_000
 
@@ -102,9 +108,9 @@ class LSHParams:
         if self.bands & (self.bands - 1):
             raise ValueError("bands must be a power of two")
 
-    def candidate_recall(self, j: float, s: int = 1000) -> float:
-        import math
-
+    def candidate_recall(self, j: float, s: int | None = None) -> float:
+        s = s or self.prefix
+        s = min(s, self.prefix)
         f = 2.0 * j / (1.0 + j)
         u = min(2 * s, int(round(s * (1.0 + (1.0 - j)))))  # approx union sketch size
         per_band = f ** (u / self.bands)

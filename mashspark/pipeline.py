@@ -11,12 +11,12 @@ Stage map to the reference: sketching = ``mash sketch``
 
 Scale notes (the 100 TB story):
 * sketching is map-only — linear in executors, no shuffle;
-* exact-dup collapse groups on the full sketch array (value equality, no
-  64-bit-fingerprint birthday collisions at 10^12 docs) and removes the
-  dominant bucket skew before LSH;
-* the band join shuffles (band_idx, band_key, doc_id) — 12 bytes + key per
-  band entry, NOT the sketches;
-* sketches are re-joined only for surviving candidate pairs;
+* the fat sketch table crosses the wire exactly once: an explicit
+  repartition by doc_id that every downstream doc_id join reuses
+  (bucketed-table pattern; on a cluster, a bucketed Iceberg table);
+* exact-dup collapse shuffles only (doc_id, fp128) — 24 B/doc — and
+  removes the mirrored/templated mega-buckets (skew source #1) before LSH;
+* the band join shuffles (band_key, doc_id) — 16 B per band entry, NOT the sketches;
 * every groupBy/join key is salted or AQE-split per ``lsh.py``.
 """
 
@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cc as _cc
@@ -36,7 +36,7 @@ from .sketch import sketch_documents
 
 @dataclass
 class DedupResult:
-    sketches: DataFrame      # doc_id, sketch, n_kmers, card_est, band_idx, band_key
+    sketches: DataFrame      # doc_id, sketch, n_kmers, card_est, band_key, fp1, fp2
     exact_groups: DataFrame  # doc_id, rep_id  (identical-sketch members)
     pairs: DataFrame         # verified rep pairs: id_a, id_b, common, denom, jaccard, mash_dist
     edges: DataFrame         # duplicate edges over ALL docs (src, dst)
@@ -47,15 +47,22 @@ class DedupResult:
 def exact_collapse(sketches: DataFrame) -> DataFrame:
     """(doc_id, rep_id): rep = min doc_id among docs with IDENTICAL sketch.
 
-    Grouping key is the sketch array itself (value equality) — exact
-    duplicates and exact sketch-collisions collapse to one representative
-    before LSH, removing mirrored/templated mega-buckets (skew source #1).
+    Grouping key is the 128-bit sketch fingerprint (fp1, fp2) computed in
+    the sketch UDF — exact duplicates and exact sketch-collisions collapse
+    to one representative before LSH, removing mirrored/templated
+    mega-buckets (skew source #1). Only (doc_id, fp1, fp2) crosses the
+    shuffle (24 B/doc), not the 8 KB sketch array; 128 bits keeps the
+    whole-corpus collision expectation ~1e-15 at 10^12 docs (64 bits would
+    NOT: ~3e4 expected collisions).
+
     Empty sketches (docs shorter than k) are NOT collapsed together — an
     empty sketch carries no similarity evidence; such docs stay singletons.
     """
-    nonempty = sketches.filter(F.size("sketch") > 0)
-    groups = nonempty.groupBy("sketch").agg(F.min("doc_id").alias("rep_id"))
-    members = nonempty.join(groups, "sketch").select("doc_id", "rep_id")
+    nonempty = sketches.filter(F.size("sketch") > 0).select("doc_id", "fp1", "fp2")
+    w = Window.partitionBy("fp1", "fp2")
+    members = nonempty.withColumn("rep_id", F.min("doc_id").over(w)).select(
+        "doc_id", "rep_id"
+    )
     empty = (
         sketches.filter(F.size("sketch") == 0)
         .select("doc_id", F.col("doc_id").alias("rep_id"))
@@ -64,19 +71,29 @@ def exact_collapse(sketches: DataFrame) -> DataFrame:
 
 
 def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
-                   id_col: str = "doc_id", text_col: str = "text") -> DedupResult:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int | None = None) -> DedupResult:
     config = config or PipelineConfig()
     sp = config.sketch
+    spark = docs.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     sketches = sketch_documents(docs, sp, config.lsh, id_col=id_col, text_col=text_col)
-    sketches = sketches.persist()
+    # One deliberate fat shuffle: hash-partition the sketch table by doc_id
+    # and persist. Every later doc_id join (rep semi-join, verify x2,
+    # cluster assignment) reuses this partitioning — Catalyst sees the
+    # cached HashPartitioning and only shuffles the skinny side. On a real
+    # cluster this is the bucketed-by-doc_id Iceberg sketches table.
+    sketches = sketches.repartition(num_buckets, "doc_id").persist()
 
-    exact_groups = exact_collapse(sketches)
-    reps = (
-        exact_groups.filter(F.col("doc_id") == F.col("rep_id"))
-        .select(F.col("rep_id").alias("doc_id"))
-        .join(sketches, "doc_id")
-    )
+    # exact_groups is consumed by reps, member edges and user inspection;
+    # persist the skinny (doc_id, rep_id) map so the fp-window shuffle runs
+    # once. reps (fat) is persisted too: band explode + both verify joins
+    # read it.
+    exact_groups = exact_collapse(sketches).persist()
+    rep_ids = exact_groups.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    reps = sketches.join(rep_ids, "doc_id", "left_semi").persist()
 
     cand, lsh_metrics = _lsh.candidate_pairs(
         reps,
@@ -91,6 +108,10 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         max_distance=config.max_distance,
         max_pvalue=config.max_pvalue,
     )
+
+    # materialize verified pairs once: CC, edge derivation and user
+    # inspection all reuse them (verification is the expensive join)
+    pairs = pairs.localCheckpoint(eager=False)
 
     # duplicate edges: verified rep-rep edges + member->rep edges of
     # exact-dup groups (exact dups are duplicates by definition: j = 1).

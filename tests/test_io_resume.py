@@ -19,7 +19,7 @@ FP = "k=21,s=128,seed=42,bands=32"
 
 
 def _transform(df):
-    return sketch_documents(df, PARAMS, LSH).drop("band_idx", "band_key")
+    return sketch_documents(df, PARAMS, LSH).drop("band_key")
 
 
 @pytest.fixture(scope="module")

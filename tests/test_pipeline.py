@@ -20,7 +20,7 @@ THRESHOLD = 0.7
 # smaller s than production default keeps the brute-force oracle fast while
 # exercising identical code paths
 PARAMS = SketchParams(k=21, s=256, seed=42)
-LSH = LSHParams(bands=64, band_doc_cap=50)  # low cap to exercise the salted hot path
+LSH = LSHParams(bands=32, prefix=64, band_doc_cap=50)  # low cap exercises the salted hot path
 CONFIG = PipelineConfig(sketch=PARAMS, lsh=LSH, jaccard_threshold=THRESHOLD)
 
 
@@ -33,11 +33,16 @@ def webtext(spark):
 
 @pytest.fixture(scope="module")
 def truth(webtext):
+    """Oracle results keyed by real doc_id (generator ids have gaps)."""
     _, pdf = webtext
+    ids = pdf["doc_id"].tolist()
     sketches = oracle.sketch_all(pdf["text"].tolist(), PARAMS)
-    pairs = oracle.truth_pairs(sketches, PARAMS, THRESHOLD)
-    clusters = oracle.truth_clusters(len(pdf), pairs)
-    return sketches, pairs, clusters
+    pairs_pos = oracle.truth_pairs(sketches, PARAMS, THRESHOLD)
+    clusters_pos = oracle.truth_clusters(len(pdf), pairs_pos)
+    sk_by_id = dict(zip(ids, sketches))
+    pairs = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in pairs_pos}
+    clusters = {ids[i]: ids[lab] for i, lab in clusters_pos.items()}
+    return sk_by_id, pairs, clusters
 
 
 @pytest.fixture(scope="module")
@@ -81,9 +86,9 @@ def test_sketches_match_oracle(result, truth, webtext):
         r.doc_id: decode_signed(np.array(r.sketch, dtype=np.int64))
         for r in res.sketches.select("doc_id", "sketch").collect()
     }
-    assert len(got) == len(oracle_sk)
-    for i, osk in enumerate(oracle_sk):
-        assert np.array_equal(got[i], osk), f"doc {i}"
+    assert set(got) == set(oracle_sk)
+    for did, osk in oracle_sk.items():
+        assert np.array_equal(got[did], osk), f"doc {did}"
 
 
 def test_dup_pair_recall_and_precision(result, truth):
