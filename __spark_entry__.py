@@ -43,7 +43,6 @@ def _pipeline(spark: SparkSession, sf_dir: str):
     if key not in _PIPELINE_CACHE:
         cfg = PipelineConfig(
             sketch=SketchParams(k=21, s=1000, seed=42),
-            lsh=LSHParams(bands=128),
             jaccard_threshold=0.7,
         )
         res = dedup_pipeline(_docs(spark, sf_dir), cfg)

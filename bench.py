@@ -29,6 +29,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "200000"))
 MIN_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_WORDS", "100"))
 MAX_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WORDS", "600"))
+# fraction of bases with near-dup variants: real web corpora are dup-sparse
+# (verify traffic scales with pair count, so this is a realism AND cost knob)
+DUP_PROB = float(os.environ.get("SPARK_GRAFT_BENCH_DUP_PROB", "0.3"))
 # N -> 4N scaling pair. Default N=2 (local[2] vs local[8]): this sandbox
 # VM delivers linear CPU only up to ~8 busy vCPUs (measured: aggregate
 # numpy throughput 1/8/16/32 procs = 0.32/2.5/4.4/6.2 G ops/s, i.e. 8->32
@@ -45,7 +48,6 @@ def _config():
 
     return PipelineConfig(
         sketch=SketchParams(k=21, s=1000, seed=42),
-        lsh=LSHParams(bands=128),
         jaccard_threshold=0.7,
     )
 
@@ -70,7 +72,7 @@ def ensure_webtext(spark, path: str = WEBTEXT_PATH, n_base: int = N_BASE):
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = webtext_spark_distributed(
             spark, n_base=n_base, num_partitions=CPUS * 4,
-            min_words=MIN_WORDS, max_words=MAX_WORDS,
+            min_words=MIN_WORDS, max_words=MAX_WORDS, dup_prob=DUP_PROB,
         )
         df.select("doc_id", "url", "text", "lang").write.mode("overwrite").parquet(path)
     return path
@@ -118,7 +120,7 @@ def main():
 
     t0 = time.time()
     sk = sketch_documents(docs_sf, SketchParams(), LSHParams())
-    sk.select(F.sum(F.size("sketch"))).collect()
+    sk.select((F.sum(F.length("sketch")) / 8).cast("long")).collect()
     queries["q1_sketch_sf_docs"] = round(time.time() - t0, 2)
 
     # -- q2: full dedup pipeline on sf documents

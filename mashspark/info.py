@@ -8,32 +8,37 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from .compare import binom_sf
+from .hashing import decode_sketch_bytes
 from .params import SketchParams
 
 
 def sketch_cardinalities(sketches: DataFrame) -> DataFrame:
-    """Per-doc KMV distinct-shingle estimate recomputed as a column expr
-    (2^64 * size / max_hash, MinHashHeap.h:45). Sketches are sign-encoded,
-    so max unsigned = last element decoded: (x XOR 2^63) as unsigned =
-    x + 2^63 in real terms; computed in double precision like the
-    reference."""
-    last = F.element_at(F.col("sketch"), F.size("sketch"))
-    max_u = F.col("_last").cast("double") + F.lit(float(2**63))
-    return (
-        sketches.withColumn("_last", last)
-        .select(
-            "doc_id",
-            F.size("sketch").alias("sketch_n"),
-            F.when(F.size("sketch") == 0, F.lit(0))
-            .otherwise(
-                (F.lit(float(2**64)) * F.size("sketch") / max_u).cast("long")
-            )
-            .alias("kmv_cardinality"),
-        )
+    """Per-doc KMV distinct-shingle estimate recomputed from the sketch
+    (2^64 * size / max_hash, MinHashHeap.h:45; double math like the
+    reference). Sketches are binary blobs, so the max-hash extraction is a
+    vectorized pandas UDF over the final 8 bytes."""
+    @pandas_udf(LongType())
+    def kmv_udf(blobs: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            if b is not None and len(b):
+                n = len(b) // 8
+                mx = float(decode_sketch_bytes(b[-8:])[0])
+                out[i] = int(2.0**64 * n / mx) if mx else n
+        return pd.Series(out)
+
+    return sketches.select(
+        "doc_id",
+        (F.length("sketch") / 8).cast("long").alias("sketch_n"),
+        kmv_udf(F.col("sketch")).alias("kmv_cardinality"),
     )
 
 
@@ -74,7 +79,7 @@ def sketch_json_dump(sketches: DataFrame, params: SketchParams) -> DataFrame:
                 hdr.alias("params"),
                 F.col("doc_id").alias("name"),
                 F.col("card_est").alias("length"),
-                F.col("sketch").alias("hashes_signed"),
+                F.col("sketch").alias("hashes_b64"),  # binary -> base64 in JSON
             )
         ).alias("json")
     )

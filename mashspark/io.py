@@ -113,8 +113,8 @@ def sketch_metrics(sketches: DataFrame) -> dict:
     """Per-partition sketch-count metrics for the manifest (north rule)."""
     row = sketches.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("sketch")).alias("n_sketch_hashes"),
-        F.sum((F.size("sketch") == 0).cast("long")).alias("n_empty"),
+        (F.sum(F.length("sketch")) / 8).cast("long").alias("n_sketch_hashes"),
+        F.sum((F.length("sketch") == 0).cast("long")).alias("n_empty"),
     ).collect()[0]
     return {
         "n_docs": row["n_docs"],

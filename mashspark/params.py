@@ -94,15 +94,20 @@ class LSHParams:
     collisions only ADD candidates (the Mash-exact verify pass removes
     them), they can never lose a true pair.
 
-    band_doc_cap: buckets above this size go through the cross-salt pair
-    enumeration path; hard_bucket_cap: buckets above this are dropped with
+    band_doc_cap: buckets above this size switch from all-pairs to linear
+    star candidates; hard_bucket_cap: buckets above this are dropped with
     logged drop metrics (lsh.py).
     """
 
     bands: int = 32
     prefix: int = 128
-    band_doc_cap: int = 1000
-    hard_bucket_cap: int = 100_000
+    # all-pairs enumeration only for buckets up to this size (measured on
+    # the synthetic corpus: boilerplate buckets are 512-2048 docs and
+    # produce millions of junk pairs; true near-dup families are small).
+    # Bigger buckets get linear star candidates; beyond hard_bucket_cap,
+    # drop + log.
+    band_doc_cap: int = 64
+    hard_bucket_cap: int = 10_000_000
 
     def __post_init__(self):
         if self.bands & (self.bands - 1):

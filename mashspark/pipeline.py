@@ -58,13 +58,13 @@ def exact_collapse(sketches: DataFrame) -> DataFrame:
     Empty sketches (docs shorter than k) are NOT collapsed together — an
     empty sketch carries no similarity evidence; such docs stay singletons.
     """
-    nonempty = sketches.filter(F.size("sketch") > 0).select("doc_id", "fp1", "fp2")
+    nonempty = sketches.filter(F.length("sketch") > 0).select("doc_id", "fp1", "fp2")
     w = Window.partitionBy("fp1", "fp2")
     members = nonempty.withColumn("rep_id", F.min("doc_id").over(w)).select(
         "doc_id", "rep_id"
     )
     empty = (
-        sketches.filter(F.size("sketch") == 0)
+        sketches.filter(F.length("sketch") == 0)
         .select("doc_id", F.col("doc_id").alias("rep_id"))
     )
     return members.unionByName(empty)
@@ -80,12 +80,13 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     sketches = sketch_documents(docs, sp, config.lsh, id_col=id_col, text_col=text_col)
-    # One deliberate fat shuffle: hash-partition the sketch table by doc_id
-    # and persist. Every later doc_id join (rep semi-join, verify x2,
-    # cluster assignment) reuses this partitioning — Catalyst sees the
-    # cached HashPartitioning and only shuffles the skinny side. On a real
-    # cluster this is the bucketed-by-doc_id Iceberg sketches table.
-    sketches = sketches.repartition(num_buckets, "doc_id").persist()
+    # Persist the sketch stage output as-is (map-only layout). An explicit
+    # repartition(doc_id) sounds right for downstream join reuse, but AQE
+    # re-plans joins against the cached relation and re-shuffles the fat
+    # side anyway (verified via event log), so the extra fat pass bought
+    # nothing. On a real cluster the sketches table is written bucketed by
+    # doc_id (Iceberg) and the joins read it shuffle-free.
+    sketches = sketches.persist()
 
     # exact_groups is consumed by reps, member edges and user inspection;
     # persist the skinny (doc_id, rep_id) map so the fp-window shuffle runs
@@ -93,7 +94,10 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     # read it.
     exact_groups = exact_collapse(sketches).persist()
     rep_ids = exact_groups.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    reps = sketches.join(rep_ids, "doc_id", "left_semi").persist()
+    # reps is NOT persisted: it is a cheap semi-join re-read of the cached
+    # sketch table (a second fat cache costs more to build than the
+    # re-scan; measured via event log)
+    reps = sketches.join(rep_ids, "doc_id", "left_semi")
 
     cand, lsh_metrics = _lsh.candidate_pairs(
         reps,
@@ -107,6 +111,7 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         jaccard_threshold=config.jaccard_threshold,
         max_distance=config.max_distance,
         max_pvalue=config.max_pvalue,
+        prefix_filter=config.lsh.prefix,
     )
 
     # materialize verified pairs once: CC, edge derivation and user

@@ -24,9 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from .hashing import encode_signed, hash_shingles_concat
+from .hashing import encode_signed, hash_shingles_concat, signed_sketch_bytes
 from .minhash import bottom_k, kmv_set_size
 from .params import SketchParams
+
+
+@pandas_udf(ArrayType(LongType()))
+def sketch_bytes_to_array(blobs: pd.Series) -> pd.Series:
+    """binary sketch blob -> array<long> (signed-encoded values)."""
+    return pd.Series([signed_sketch_bytes(b) for b in blobs])
 
 
 def make_all_hashes_udf(k: int, seed: int):
@@ -73,8 +79,8 @@ def screen(refs_sketches: DataFrame, mixture_docs: DataFrame,
     """
     index = refs_sketches.select(
         F.col(ref_id_col).alias("ref_id"),
-        F.size("sketch").alias("denom"),
-        F.explode("sketch").alias("hash"),
+        (F.length("sketch") / 8).cast("int").alias("denom"),
+        F.explode(sketch_bytes_to_array(F.col("sketch"))).alias("hash"),
     )
 
     udf = make_all_hashes_udf(params.k, params.seed)

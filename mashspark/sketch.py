@@ -19,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (ArrayType, BinaryType, LongType, StructField,
+                               StructType)
 
 from .hashing import _fmix64, encode_signed, hash_shingles_concat
 from .minhash import bottom_k, kmv_set_size
@@ -30,7 +31,12 @@ _BANDSEED = np.uint64(0xA5A5A5A55A5A5A5A)
 
 SKETCH_FIELDS = StructType(
     [
-        StructField("sketch", ArrayType(LongType()), False),
+        # sketch = sign-flip-encoded int64 hashes, ascending unsigned,
+        # packed little-endian into ONE binary blob: shuffling/caching an
+        # opaque byte[] is a memcpy, while array<long> pays per-element
+        # UnsafeArrayData + columnar-cache encoding (measured ~7x slower
+        # on the fat repartition at bench scale).
+        StructField("sketch", BinaryType(), False),
         StructField("n_kmers", LongType(), False),
         StructField("card_est", LongType(), False),
         StructField("band_key", ArrayType(LongType()), False),
@@ -126,7 +132,7 @@ def make_sketch_udf(params: SketchParams, lsh: LSHParams):
             f1, f2 = sketch_fp128(sk)
             fp1[i] = f1
             fp2[i] = f2
-            sketches.append(encode_signed(sk))
+            sketches.append(encode_signed(sk).astype("<i8").tobytes())
             bkey_col.append(bk.view(np.int64))
         return pd.DataFrame(
             {

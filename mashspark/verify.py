@@ -21,7 +21,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                StructType)
 
 from .compare import binom_sf, capped_merge
-from .hashing import decode_signed
+from .hashing import decode_sketch_bytes
 from .params import SketchParams
 
 _MERGE_FIELDS = StructType(
@@ -32,10 +32,8 @@ _MERGE_FIELDS = StructType(
 def make_verify_udf(sketch_size: int):
     """(sketch_a, sketch_b) -> struct(common, denom).
 
-    sketch columns are sign-flip-encoded int64 arrays; signed sort order ==
-    unsigned order, so the capped merge can run directly on the encoded
-    values — ``capped_merge`` only relies on ordering and equality, both
-    preserved by the encoding. (We still decode to uint64 for clarity.)
+    sketch columns are binary blobs of sign-flip-encoded little-endian
+    int64s (ascending unsigned); np.frombuffer gives a zero-copy view.
     """
 
     @pandas_udf(_MERGE_FIELDS)
@@ -44,8 +42,8 @@ def make_verify_udf(sketch_size: int):
         common = np.zeros(n, dtype=np.int32)
         denom = np.zeros(n, dtype=np.int32)
         for i in range(n):
-            sa = decode_signed(np.asarray(a.iloc[i], dtype=np.int64))
-            sb = decode_signed(np.asarray(b.iloc[i], dtype=np.int64))
+            sa = decode_sketch_bytes(a.iloc[i])
+            sb = decode_sketch_bytes(b.iloc[i])
             # sketch_size is min(s_a, s_b) of the PARAMETER s
             # (CommandDistance.cpp:313-315); both sides share one config
             # here (enforced by SketchParams.check_compatible). Short docs
@@ -79,29 +77,81 @@ def make_pvalue_udf(kmer_space: float, sketch_size: int):
     return pvalue_udf
 
 
+def _attach(cands: DataFrame, sk: DataFrame, id_col: str, suffix: str,
+            payload_col) -> DataFrame:
+    side = sk.select(
+        F.col("doc_id").alias(id_col),
+        payload_col.alias(f"sketch_{suffix}"),
+        F.col("card_est").alias(f"card_{suffix}"),
+    )
+    return cands.join(side, id_col)
+
+
 def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
                  jaccard_threshold: float | None = None,
                  max_distance: float | None = None,
                  max_pvalue: float | None = None,
-                 with_pvalue: bool = False) -> DataFrame:
+                 with_pvalue: bool = False,
+                 prefix_filter: int | None = 128,
+                 prefix_margin: float = 0.15) -> DataFrame:
     """Attach Mash-exact (common, denom, jaccard, mash_dist[, p_value]) to a
     candidate-pair DataFrame (id_a, id_b), id_a < id_b.
 
-    Join strategy: two shuffle joins against the sketch table on its key —
-    at scale both sides are bucketable by doc_id so the joins co-locate;
-    the cheap jaccard threshold runs before the p-value UDF.
+    Two-tier verification when ``jaccard_threshold`` and ``prefix_filter``
+    are set: tier 1 joins only the bottom-``prefix_filter`` prefix of each
+    sketch (``substring`` of the binary blob — 1 KB instead of 8 KB per
+    side) and drops pairs whose prefix-Jaccard estimate is below
+    ``threshold - prefix_margin``; tier 2 runs the full-s Mash-exact merge
+    on the survivors. The prefix estimate over m hashes has sd
+    ~ sqrt(j(1-j)/m) (~0.04 at m=128, j=0.7), so a 0.15 margin is >3.5 sd
+    — boilerplate-only candidate junk (j ~ 0.0-0.3) dies at 1/8 of the
+    shuffle cost, true pairs are untouched, and the FINAL numbers are
+    always the full-s exact ones (precision is never affected).
+
+    Join strategy: shuffled-hash joins (no fat-row sorts); the cheap
+    jaccard threshold runs before the p-value UDF (cheap-filter-first,
+    CommandDistance.cpp:409-417).
     """
-    sk = sketches.select(
-        F.col("doc_id"), F.col("sketch"), F.col("card_est")
+    sk = sketches.select("doc_id", "sketch", "card_est")
+    use_prefix = (
+        prefix_filter is not None
+        and jaccard_threshold is not None
+        and prefix_filter < params.s
     )
-    df = (
-        cands.join(sk.withColumnRenamed("doc_id", "id_a")
-                     .withColumnRenamed("sketch", "sketch_a")
-                     .withColumnRenamed("card_est", "card_a"), "id_a")
-        .join(sk.withColumnRenamed("doc_id", "id_b")
-                .withColumnRenamed("sketch", "sketch_b")
-                .withColumnRenamed("card_est", "card_b"), "id_b")
-    )
+    if use_prefix:
+        # widen the margin to >=6 sd of the m-hash estimator so borderline
+        # true pairs are essentially never pre-filtered (P < 1e-9/pair)
+        import math
+
+        t = float(jaccard_threshold)
+        sigma = math.sqrt(max(t * (1.0 - t), 0.05) / float(prefix_filter))
+        prefix_margin = max(float(prefix_margin), 6.0 * sigma)
+        pre = F.substring(F.col("sketch"), 1, int(prefix_filter) * 8)
+        pvu = make_verify_udf(int(prefix_filter))
+        tier1 = _attach(cands, sk, "id_a", "a", pre)
+        tier1 = _attach(tier1, sk, "id_b", "b", pre)
+        tier1 = tier1.withColumn(
+            "_p", pvu(F.col("sketch_a"), F.col("sketch_b"))
+        ).select(
+            "id_a", "id_b",
+            (F.col("_p.common") / F.greatest(F.col("_p.denom"), F.lit(1))).alias("_jpre"),
+        )
+        cands = tier1.filter(
+            F.col("_jpre") >= float(jaccard_threshold) - float(prefix_margin)
+        ).select("id_a", "id_b")
+        # restrict the fat table to survivor ids BEFORE the attach joins:
+        # the id set is small enough to broadcast, so the semi-join does
+        # not shuffle the fat side, and the attach joins then only move
+        # survivors' sketches instead of the whole table
+        surv_ids = (
+            cands.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sk = sk.join(F.broadcast(surv_ids), "doc_id", "left_semi")
+
+    df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
+    df = _attach(df, sk, "id_b", "b", F.col("sketch"))
     vu = make_verify_udf(params.s)
     df = df.withColumn("_v", vu(F.col("sketch_a"), F.col("sketch_b")))
     df = df.select(

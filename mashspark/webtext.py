@@ -53,12 +53,19 @@ def _base_rng(seed: int, base_id: int) -> np.random.Generator:
 
 
 def gen_base_docs(base_id: int, seed: int = 42, min_words: int = 200,
-                  max_words: int = 2000, boilerplate_prob: float = 0.5) -> list[dict]:
-    """All documents (base + near-dup variants) of one base cluster."""
+                  max_words: int = 2000, boilerplate_prob: float = 0.5,
+                  dup_prob: float = 1.0) -> list[dict]:
+    """All documents (base + near-dup variants) of one base cluster.
+
+    dup_prob: probability a base has any near-dup variants at all (1.0 =
+    every base draws 0..MAX_DUPS variants; lower values model realistic
+    web corpora where most pages are unique)."""
     rng = _base_rng(seed, base_id)
     n_words = int(rng.integers(min_words, max_words + 1))
     widx = rng.integers(0, len(_WORDS), size=n_words)
     n_dup = int(rng.integers(0, MAX_DUPS + 1))
+    if rng.random() >= dup_prob:
+        n_dup = 0
     rows = []
     for variant in range(n_dup + 1):
         words = [_WORDS[i] for i in widx]

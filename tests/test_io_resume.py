@@ -97,6 +97,6 @@ def test_resumed_equals_single_shot(spark, docs, tmp_path_factory):
     os.remove(os.path.join(t2, "_manifest", "bucket-1.json"))
     resumed = mio.run_checkpointed(spark, docs, t2, _transform, n_buckets=3,
                                    params_fingerprint=FP)
-    a = {(r.doc_id, tuple(r.sketch)) for r in full.collect()}
-    b = {(r.doc_id, tuple(r.sketch)) for r in resumed.collect()}
+    a = {(r.doc_id, bytes(r.sketch)) for r in full.collect()}
+    b = {(r.doc_id, bytes(r.sketch)) for r in resumed.collect()}
     assert a == b

@@ -78,12 +78,12 @@ def _expand_detected_pairs(rep_pairs, exact):
 
 def test_sketches_match_oracle(result, truth, webtext):
     """Spark UDF sketches == numpy oracle sketches, bit for bit."""
-    from mashspark.hashing import decode_signed
+    from mashspark.hashing import decode_sketch_bytes
 
     res, _, _, _ = result
     oracle_sk, _, _ = truth
     got = {
-        r.doc_id: decode_signed(np.array(r.sketch, dtype=np.int64))
+        r.doc_id: decode_sketch_bytes(r.sketch)
         for r in res.sketches.select("doc_id", "sketch").collect()
     }
     assert set(got) == set(oracle_sk)
