@@ -208,7 +208,7 @@ def _q_sketch_cardinalities(spark, sf_dir):
     from mashspark.info import sketch_cardinalities
 
     res = _pipeline(spark, sf_dir)
-    return sketch_cardinalities(res.sketches)
+    return sketch_cardinalities(res.sketches, s=1000)
 
 
 def _q_simhash_dup_pairs(spark, sf_dir):
@@ -307,7 +307,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": """
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars, min(doc_id) AS min_doc_id
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id
             FROM documents GROUP BY lang, source
         """,
         "exact_dup_groups": """

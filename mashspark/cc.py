@@ -83,7 +83,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     lab = pd.DataFrame({"root": roots, "node": nodes})
     mins = lab.groupby("root")["node"].transform("min")
     out = pd.DataFrame({"doc_id": nodes, "cluster_id": mins.to_numpy()})
-    return edges.sparkSession.createDataFrame(out)
+    # explicit schema: an empty pandas frame cannot infer one (a dup-free
+    # corpus reaches here with zero edges and must yield zero labels, not
+    # a CANNOT_INFER_EMPTY_SCHEMA crash)
+    return edges.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 25,

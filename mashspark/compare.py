@@ -86,6 +86,28 @@ def containment(common, denom_query):
     return jaccard(common, denom_query)
 
 
+def contain_sketches(ref: np.ndarray, query: np.ndarray) -> tuple[int, int]:
+    """(common, used) of ``containSketches`` (CommandContain.cpp:231-263);
+    score = common/used, error = 1/sqrt(used).
+
+    Closed form of the reference two-pointer loop: ref-only elements are
+    free (``steps--``), so ``steps`` counts consumed QUERY elements in
+    ascending order; the loop stops after ``denom = min(|ref|, |query|)``
+    query consumptions or when the ref list exhausts — query elements
+    greater than max(ref) are never consumed. Hence
+    ``used = min(denom, |{q : q <= max(ref)}|)`` and
+    ``common = |ref ∩ query[:used]|``.
+    """
+    ref = np.asarray(ref, dtype=np.uint64)
+    query = np.asarray(query, dtype=np.uint64)
+    if len(ref) == 0 or len(query) == 0:
+        return 0, 0
+    denom = min(len(ref), len(query))
+    used = int(min(denom, np.searchsorted(query, ref[-1], side="right")))
+    common = int(np.intersect1d(ref, query[:used]).size)
+    return common, used
+
+
 def identity(common, denom, k: int):
     """estimateIdentity (CommandScreen.cpp:463-482): jaccard ** (1/k)."""
     common = np.asarray(common, dtype=np.float64)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import gzip
 
 import numpy as np
+import pandas as pd
 
 from .hashing import murmur3_x64_128_h1
 
@@ -76,6 +77,28 @@ def canonical_kmer_hashes(seq: bytes, k: int, seed: int) -> np.ndarray:
     use_fwd = fb <= rb
     canon = np.where(use_fwd[:, None], fwd, rev)
     return murmur3_x64_128_h1(np.ascontiguousarray(canon), seed)
+
+
+def make_canonical_hashes_udf(k: int, seed: int):
+    """DNA-mode mixture hasher for ``screen.screen(hashes_udf=...)``:
+    sequence text -> array<long> of sign-encoded canonical k-mer hashes
+    (one per valid position, repeats kept). Lets the reference's genomic
+    golden fixtures run through the exact production Spark screen path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .hashing import encode_signed
+
+    @pandas_udf(ArrayType(LongType()))
+    def dna_hashes_udf(seqs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_signed(canonical_kmer_hashes(s.encode("ascii"), k, seed))
+                for s in seqs.fillna("")
+            ]
+        )
+
+    return dna_hashes_udf
 
 
 def hash_fastq_files(paths: list[str], k: int, seed: int) -> np.ndarray:

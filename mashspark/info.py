@@ -20,17 +20,26 @@ from .hashing import decode_sketch_bytes
 from .params import SketchParams
 
 
-def sketch_cardinalities(sketches: DataFrame) -> DataFrame:
+def sketch_cardinalities(sketches: DataFrame, s: int | None = None) -> DataFrame:
     """Per-doc KMV distinct-shingle estimate recomputed from the sketch
     (2^64 * size / max_hash, MinHashHeap.h:45; double math like the
     reference). Sketches are binary blobs, so the max-hash extraction is a
-    vectorized pandas UDF over the final 8 bytes."""
+    vectorized pandas UDF over the final 8 bytes.
+
+    ``s`` = the sketch-size parameter the sketches were built with: an
+    UNSATURATED sketch (n < s) holds every distinct shingle, so its exact
+    cardinality is n — the KMV extrapolation only applies at saturation
+    (matches ``sketch.card_est`` / reference reads-mode length,
+    ``Sketch.cpp:1272-1282``). ``s=None`` keeps the estimator everywhere."""
     @pandas_udf(LongType())
     def kmv_udf(blobs: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=np.int64)
         for i, b in enumerate(blobs):
             if b is not None and len(b):
                 n = len(b) // 8
+                if s is not None and n < s:
+                    out[i] = n
+                    continue
                 mx = float(decode_sketch_bytes(b[-8:])[0])
                 out[i] = int(2.0**64 * n / mx) if mx else n
         return pd.Series(out)
@@ -39,6 +48,23 @@ def sketch_cardinalities(sketches: DataFrame) -> DataFrame:
         "doc_id",
         (F.length("sketch") / 8).cast("long").alias("sketch_n"),
         kmv_udf(F.col("sketch")).alias("kmv_cardinality"),
+    )
+
+
+def coverage_estimates(sketches_with_counts: DataFrame) -> DataFrame:
+    """A6 coverage estimate: mean multiplicity of the surviving sketch
+    hashes (``estimateMultiplicity``, MinHashHeap.h:44) as a pure column
+    expression over the ``counts`` column produced by
+    ``sketch.sketch_documents_with_counts``. The reference's coverage-based
+    early stop (Sketch.cpp:1258-1262) has no batch analog — the estimate
+    itself is the operator."""
+    return sketches_with_counts.select(
+        "doc_id",
+        F.when(
+            F.size("counts") > 0,
+            F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.size("counts"),
+        ).otherwise(F.lit(0.0)).alias("coverage"),
     )
 
 
@@ -53,11 +79,18 @@ def count_histogram(sketches_with_counts: DataFrame) -> DataFrame:
 
 
 def paste(*sketch_dfs: DataFrame) -> DataFrame:
-    """Union compatible sketch collections (CommandPaste.cpp:30-89);
-    parameter compatibility is the caller's contract
-    (SketchParams.check_compatible)."""
+    """Union compatible sketch collections (CommandPaste.cpp:30-89).
+    Parameter compatibility is ENFORCED when both tables carry embedded
+    params (schema metadata set by ``sketch.sketch_documents``) — the
+    reference refuses mismatched files at load (Sketch.cpp:133-160)."""
+    from .params import params_from_schema
+
+    base = params_from_schema(sketch_dfs[0])
     out = sketch_dfs[0]
     for df in sketch_dfs[1:]:
+        p = params_from_schema(df)
+        if base is not None and p is not None:
+            base.check_compatible(p)
         out = out.unionByName(df, allowMissingColumns=True)
     return out
 

@@ -109,6 +109,55 @@ def run_checkpointed(
     return spark.read.parquet(os.path.join(table_path, "bucket=*"))
 
 
+def write_dist_tsv(pairs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TSV result sink (S6): one line per verified pair in the reference's
+    ``mash dist`` / ``triangle -E`` edge format —
+    ``ref \\t query \\t distance \\t p-value \\t common/denom``
+    (``CommandDistance.cpp:286-298``, ``CommandTriangle.cpp:178``).
+    Distributed write (one part file per partition); pairs without a
+    p_value column get an empty field, as the filter columns are optional.
+    """
+    cols = set(pairs.columns)
+    pv = F.col("p_value").cast("string") if "p_value" in cols else F.lit("")
+    out = pairs.select(
+        F.col("id_a").cast("string"),
+        F.col("id_b").cast("string"),
+        F.col("mash_dist").cast("string"),
+        pv,
+        F.concat_ws("/", F.col("common").cast("string"), F.col("denom").cast("string")),
+    )
+    out.write.mode(mode).option("sep", "\t").csv(path)
+
+
+def phylip_triangle(pairs: DataFrame, ids: list | None = None,
+                    default_dist: float = 1.0) -> str:
+    """Lower-triangular Phylip matrix sink (S8,
+    ``CommandTriangle.cpp:125-126,159-198``): first line ``\\t<count>``,
+    then row i = name + tab-separated distances to refs 0..i-1.
+
+    Driver-side pivot by design: triangle output is O(n^2) TEXT, a
+    final small-N artifact the reference prints to stdout; at corpus scale
+    the edge-list sink (``write_dist_tsv``) is the output format. ``ids``
+    defaults to the sorted union of pair endpoints; pairs absent from
+    ``pairs`` (e.g. filtered) render ``default_dist`` like the reference's
+    maximal distance for no-overlap pairs."""
+    rows = pairs.select("id_a", "id_b", "mash_dist").collect()
+    dist = {}
+    for r in rows:
+        a, b = r["id_a"], r["id_b"]
+        dist[(min(a, b), max(a, b))] = r["mash_dist"]
+    if ids is None:
+        ids = sorted({x for ab in dist for x in ab})
+    lines = [f"\t{len(ids)}"]
+    for i, name in enumerate(ids):
+        cells = [str(name)]
+        for j in range(i):
+            key = (min(name, ids[j]), max(name, ids[j]))
+            cells.append(repr(dist.get(key, default_dist)))
+        lines.append("\t".join(cells))
+    return "\n".join(lines) + "\n"
+
+
 def sketch_metrics(sketches: DataFrame) -> dict:
     """Per-partition sketch-count metrics for the manifest (north rule)."""
     row = sketches.agg(

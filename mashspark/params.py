@@ -14,6 +14,23 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
 
+# schema-metadata key under which sketch tables carry their build params
+# (the Spark analog of the reference's sketch-file header, Sketch.cpp:133-160)
+PARAMS_META_KEY = "mashspark.sketch_params"
+
+
+def params_from_schema(df) -> "SketchParams | None":
+    """Recover the SketchParams a sketch table was built with from the
+    ``sketch`` column's schema metadata (set by ``sketch.sketch_documents``;
+    survives select/join/parquet round-trips). None if absent — e.g. a
+    hand-built table — in which case callers trust their explicit params,
+    like the reference trusts CLI flags when no file header exists."""
+    for f in df.schema.fields:
+        if f.name == "sketch" and f.metadata and PARAMS_META_KEY in f.metadata:
+            d = dict(f.metadata[PARAMS_META_KEY])
+            return SketchParams(**{k: int(v) for k, v in d.items()})
+    return None
+
 
 @dataclass(frozen=True)
 class SketchParams:

@@ -79,6 +79,14 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # small-input parallelism guard: a tiny parquet fixture arrives as ONE
+    # split, which would serialize the (CPU-heavy, map-only) sketch stage
+    # onto one core. At production scale input splits >> shuffle
+    # partitions and this never triggers — no shuffle is added there.
+    in_parts = docs.rdd.getNumPartitions()
+    if in_parts < num_buckets:
+        docs = docs.repartition(num_buckets)
+
     sketches = sketch_documents(docs, sp, config.lsh, id_col=id_col, text_col=text_col)
     # Persist the sketch stage output as-is (map-only layout). An explicit
     # repartition(doc_id) sounds right for downstream join reuse, but AQE

@@ -26,26 +26,50 @@ from .hashing import hash_shingles_concat
 
 def simhash_batch(texts, k: int, seed: int) -> np.ndarray:
     """int64 simhash per text (sign-bit semantics irrelevant — the value is
-    a bit pattern, stored raw)."""
+    a bit pattern, stored raw).
+
+    Fully vectorized voting: per-doc distinct shingle hashes (set
+    semantics, like MinHash) are concatenated, bit-unpacked ONCE for the
+    whole batch (``np.unpackbits`` on the little-endian byte view) and
+    summed per document with one ``np.add.reduceat`` — no per-document
+    64-column temporaries (the old per-doc vote matrix was the simhash
+    stage's hot-spot at bench scale)."""
     bufs = [np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8) for t in texts]
     lens = [len(b) for b in bufs]
     big = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
     all_h = hash_shingles_concat(big, k, seed)
-    out = np.zeros(len(bufs), dtype=np.int64)
-    bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    n_docs = len(bufs)
+    out = np.zeros(n_docs, dtype=np.int64)
+
+    segs, seg_lens, doc_idx = [], [], []
     off = 0
     for i, blen in enumerate(lens):
         if blen >= k:
             nk = blen - k + 1
-            seg = np.unique(all_h[off : off + nk])  # set semantics, like MinHash
+            seg = np.unique(all_h[off : off + nk])
             if len(seg):
-                # per-bit vote: count of ones per bit minus half the total
-                bits = (seg[:, None] & bitcols[None, :]) != 0
-                votes = bits.sum(axis=0) * 2 - len(seg)
-                sig = np.uint64(0)
-                sig = (bitcols[votes > 0]).sum(dtype=np.uint64)
-                out[i] = np.int64(sig.view(np.int64) if hasattr(sig, "view") else sig)
+                segs.append(seg)
+                seg_lens.append(len(seg))
+                doc_idx.append(i)
         off += blen
+    if not segs:
+        return out
+
+    uniq_all = np.concatenate(segs)
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    starts = np.zeros(len(seg_lens), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=starts[1:])
+    # per-bit reduceat over a small reused temporary, NOT one (N, 64)
+    # unpackbits matrix: the big fresh allocation pays seconds of
+    # first-touch page faults on this host, the 64 small passes don't
+    ones = np.empty((len(seg_lens), 64), dtype=np.int64)
+    one = np.uint64(1)
+    for b in range(64):
+        ones[:, b] = np.add.reduceat((uniq_all >> np.uint64(b)) & one, starts)
+    votes = ones * 2 - seg_lens[:, None]
+    sig_bits = (votes > 0).astype(np.uint8)
+    sigs = np.packbits(sig_bits, axis=1, bitorder="little").view("<u8").ravel()
+    out[np.asarray(doc_idx)] = sigs.view(np.int64)
     return out
 
 

@@ -19,8 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (ArrayType, BinaryType, LongType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+                               StructField, StructType)
 
 from .hashing import _fmix64, encode_signed, hash_shingles_concat
 from .minhash import bottom_k, kmv_set_size
@@ -148,12 +148,101 @@ def make_sketch_udf(params: SketchParams, lsh: LSHParams):
     return sketch_udf
 
 
+COUNT_SKETCH_FIELDS = StructType(
+    [
+        StructField("sketch", BinaryType(), False),
+        # multiplicity of each surviving sketch hash, aligned with the
+        # sketch order (reference -M counts, HashSet.cpp:48-76)
+        StructField("counts", ArrayType(IntegerType()), False),
+        StructField("n_kmers", LongType(), False),
+        StructField("card_est", LongType(), False),
+    ]
+)
+
+
+def make_minhash_count_udf(params: SketchParams):
+    """SURVEY §2.8 ``minhash_count_udf``: text -> struct<sketch, counts,
+    n_kmers, card_est> — the A1 bottom-k sketch WITH per-hash multiplicities
+    (reference reads-mode ``-M``/``-m``, ``MinHashHeap.cpp:96-118``,
+    ``HashSet.cpp:48-76``). Same single-murmur-pass batch layout as
+    ``make_sketch_udf``; counts feed the coverage estimate (A6,
+    ``MinHashHeap.h:44``) and the count histogram (A7,
+    ``CommandInfo.cpp:187-220``)."""
+    k, s, seed, min_cov = params.k, params.s, params.seed, params.min_cov
+
+    @pandas_udf(COUNT_SKETCH_FIELDS)
+    def minhash_count_udf(texts: pd.Series) -> pd.DataFrame:
+        vals = texts.fillna("").astype(str).tolist()
+        bufs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in vals]
+        lens = [len(b) for b in bufs]
+        big = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
+        all_h = hash_shingles_concat(big, k, seed)
+
+        n_rows = len(lens)
+        sketches, counts_col = [], []
+        n_kmers = np.zeros(n_rows, dtype=np.int64)
+        cards = np.zeros(n_rows, dtype=np.int64)
+        off = 0
+        for i, blen in enumerate(lens):
+            if blen < k:
+                sk = np.empty(0, dtype=np.uint64)
+                cnt = np.empty(0, dtype=np.int32)
+                nk = 0
+            else:
+                nk = blen - k + 1
+                sk, cnt = bottom_k(
+                    all_h[off : off + nk], s, min_cov=min_cov, with_counts=True
+                )
+            off += blen
+            n_kmers[i] = nk
+            cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
+            sketches.append(encode_signed(sk).astype("<i8").tobytes())
+            counts_col.append(cnt)
+        return pd.DataFrame(
+            {
+                "sketch": sketches,
+                "counts": counts_col,
+                "n_kmers": n_kmers,
+                "card_est": cards,
+            }
+        )
+
+    return minhash_count_udf
+
+
+def sketch_documents_with_counts(df: DataFrame, params: SketchParams,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, sketch, counts, n_kmers, card_est). Map-only,
+    like ``sketch_documents`` but with multiplicities kept (A2)."""
+    udf = make_minhash_count_udf(params)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("_sk", udf(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("_sk.sketch").alias("sketch", metadata=_params_meta(params)),
+            F.col("_sk.counts").alias("counts"),
+            F.col("_sk.n_kmers").alias("n_kmers"),
+            F.col("_sk.card_est").alias("card_est"),
+        )
+    )
+
+
+def _params_meta(params: SketchParams) -> dict:
+    from .params import PARAMS_META_KEY
+
+    return {PARAMS_META_KEY: params.to_dict()}
+
+
 def sketch_documents(df: DataFrame, params: SketchParams, lsh: LSHParams,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, sketch, n_kmers, card_est, band_key, fp1, fp2).
 
-    Map-only: filters docs shorter than k first (reference short-record
-    filter, ``Sketch.cpp:337-341``) so the UDF never sees unsketchable rows.
+    Map-only, one vectorized UDF pass. Docs shorter than k yield an EMPTY
+    sketch inside the UDF (reference skips such records,
+    ``Sketch.cpp:337-341``); they stay in the output as unsketchable rows
+    so downstream cluster assignment keeps them as singletons.
     """
     udf = make_sketch_udf(params, lsh)
     out = (
@@ -161,7 +250,9 @@ def sketch_documents(df: DataFrame, params: SketchParams, lsh: LSHParams,
         .withColumn("_sk", udf(F.col("text")))
         .select(
             "doc_id",
-            F.col("_sk.sketch").alias("sketch"),
+            # params fingerprint rides in the column metadata so downstream
+            # comparisons can refuse incompatible tables (F6, Sketch.cpp:133-160)
+            F.col("_sk.sketch").alias("sketch", metadata=_params_meta(params)),
             F.col("_sk.n_kmers").alias("n_kmers"),
             F.col("_sk.card_est").alias("card_est"),
             F.col("_sk.band_key").alias("band_key"),

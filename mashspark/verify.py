@@ -22,7 +22,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, StructField,
 
 from .compare import binom_sf, capped_merge
 from .hashing import decode_sketch_bytes
-from .params import SketchParams
+from .params import SketchParams, params_from_schema
 
 _MERGE_FIELDS = StructType(
     [StructField("common", IntegerType(), False), StructField("denom", IntegerType(), False)]
@@ -55,6 +55,61 @@ def make_verify_udf(sketch_size: int):
         return pd.DataFrame({"common": common, "denom": denom})
 
     return verify_udf
+
+
+def make_contain_udf():
+    """(sketch_ref, sketch_query) -> struct(common, used) per
+    ``containSketches`` (CommandContain.cpp:231-263)."""
+    from .compare import contain_sketches
+
+    fields = StructType(
+        [StructField("common", IntegerType(), False),
+         StructField("used", IntegerType(), False)]
+    )
+
+    @pandas_udf(fields)
+    def contain_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        n = len(a)
+        common = np.zeros(n, dtype=np.int32)
+        used = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            c, u = contain_sketches(
+                decode_sketch_bytes(a.iloc[i]), decode_sketch_bytes(b.iloc[i])
+            )
+            common[i] = c
+            used[i] = u
+        return pd.DataFrame({"common": common, "used": used})
+
+    return contain_udf
+
+
+def contain_pairs(cands: DataFrame, sketches: DataFrame,
+                  params: SketchParams) -> DataFrame:
+    """Containment mode (J6): for each candidate pair, the containment
+    score of the id_b sketch (query) in the id_a sketch (ref) — the
+    "page contains boilerplate template" op. Columns:
+    (id_a, id_b, common, used, containment, error) with
+    containment = common/used (0 when used = 0) and error = 1/sqrt(used)
+    (``CommandContain.cpp:258-262``). Join strategy mirrors
+    ``verify_pairs``: skinny pair table joins the fat sketch table once
+    per side."""
+    embedded = params_from_schema(sketches)
+    if embedded is not None:
+        params.check_compatible(embedded)
+    sk = sketches.select("doc_id", "sketch", F.lit(0).alias("card_est"))
+    df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
+    df = _attach(df, sk, "id_b", "b", F.col("sketch"))
+    cu = make_contain_udf()
+    df = df.withColumn("_c", cu(F.col("sketch_a"), F.col("sketch_b")))
+    return df.select(
+        "id_a", "id_b",
+        F.col("_c.common").alias("common"),
+        F.col("_c.used").alias("used"),
+        F.when(F.col("_c.used") > 0, F.col("_c.common") / F.col("_c.used"))
+        .otherwise(F.lit(0.0)).alias("containment"),
+        F.when(F.col("_c.used") > 0, 1.0 / F.sqrt(F.col("_c.used")))
+        .otherwise(F.lit(1.0)).alias("error"),
+    )
 
 
 def make_pvalue_udf(kmer_space: float, sketch_size: int):
@@ -112,6 +167,9 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
     jaccard threshold runs before the p-value UDF (cheap-filter-first,
     CommandDistance.cpp:409-417).
     """
+    embedded = params_from_schema(sketches)
+    if embedded is not None:  # refuse mismatched tables (F6, Sketch.cpp:133-160)
+        params.check_compatible(embedded)
     sk = sketches.select("doc_id", "sketch", "card_est")
     use_prefix = (
         prefix_filter is not None
@@ -139,16 +197,19 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         cands = tier1.filter(
             F.col("_jpre") >= float(jaccard_threshold) - float(prefix_margin)
         ).select("id_a", "id_b")
-        # restrict the fat table to survivor ids BEFORE the attach joins:
-        # the id set is small enough to broadcast, so the semi-join does
-        # not shuffle the fat side, and the attach joins then only move
-        # survivors' sketches instead of the whole table
+        # restrict the fat table to survivor ids BEFORE the attach joins so
+        # they only move survivors' sketches instead of the whole table.
+        # No forced broadcast hint: the survivor-id set is O(true pairs)
+        # and unbounded at web scale — AQE picks broadcast vs shuffled
+        # semi-join from the measured size (autoBroadcastJoinThreshold is
+        # tuned in session.py), so small runs still get the broadcast plan
+        # without the OOM cliff a hard F.broadcast() would create.
         surv_ids = (
             cands.select(F.col("id_a").alias("doc_id"))
             .unionByName(cands.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        sk = sk.join(F.broadcast(surv_ids), "doc_id", "left_semi")
+        sk = sk.join(surv_ids, "doc_id", "left_semi")
 
     df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
     df = _attach(df, sk, "id_b", "b", F.col("sketch"))
