@@ -253,6 +253,80 @@ def _q_srp_bucket_stats(spark, sf_dir):
     return sizes.groupBy("bucket_size").agg(F.count("*").alias("n_buckets"))
 
 
+def _q_count_histogram(spark, sf_dir):
+    """A7 count histogram over A2 multiplicity sketches. Oracle-checkable
+    because every fixture doc has < s=1000 distinct shingles (unsaturated
+    sketch = ALL distinct shingles kept), so hash multiplicities equal
+    21-char-substring multiplicities."""
+    from mashspark.info import count_histogram
+    from mashspark.sketch import sketch_documents_with_counts
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 21)
+    sk = sketch_documents_with_counts(d, SketchParams(k=21, s=1000, seed=42))
+    return count_histogram(sk)
+
+
+def _q_coverage_estimates(spark, sf_dir):
+    """A6 coverage estimate (mean sketch-hash multiplicity)."""
+    from mashspark.info import coverage_estimates
+    from mashspark.sketch import sketch_documents_with_counts
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 21)
+    sk = sketch_documents_with_counts(d, SketchParams(k=21, s=1000, seed=42))
+    return coverage_estimates(sk)
+
+
+def _q_paste_sketch_sizes(spark, sf_dir):
+    """S9 paste: union two compatible sketch tables; sketch sizes are
+    oracle-checkable (unsaturated sketch size = distinct shingle count)."""
+    from mashspark.info import paste
+    from mashspark.sketch import sketch_documents
+
+    sp = SketchParams(k=21, s=1000, seed=42)
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 21)
+    lo = sketch_documents(docs.filter(F.col("doc_id") < 250), sp, LSHParams())
+    hi = sketch_documents(docs.filter(F.col("doc_id") >= 250), sp, LSHParams())
+    return paste(lo, hi).select(
+        "doc_id", (F.length("sketch") / 8).cast("long").alias("sketch_n")
+    )
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """J6 containment (CommandContain.cpp semantics) over all pairs of the
+    first 40 docs; murmur-order dependent, so rows-only."""
+    from mashspark.sketch import sketch_documents
+    from mashspark.verify import contain_pairs
+
+    sp = SketchParams(k=21, s=1000, seed=42)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sk = sketch_documents(docs, sp, LSHParams())
+    ids = docs.select("doc_id")
+    a = ids.withColumnRenamed("doc_id", "id_a")
+    b = ids.withColumnRenamed("doc_id", "id_b")
+    cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = contain_pairs(cands, sk, sp)
+    return out.select(
+        "id_a", "id_b", "common", "used", F.round("containment", 6).alias("containment_r")
+    )
+
+
+def _q_screen_wta(spark, sf_dir):
+    """A9 winner-take-all screen (rows-only: murmur-based)."""
+    from mashspark.screen import screen
+    from mashspark.sketch import sketch_documents
+
+    sp = SketchParams(k=21, s=1000, seed=42)
+    docs = _docs(spark, sf_dir)
+    refs = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+    refs_sk = sketch_documents(refs, sp, LSHParams())
+    rest = docs.join(refs.select("doc_id"), "doc_id", "left_anti")
+    return screen(refs_sk, rest, sp, winner_take_all=True, with_pvalue=True).select(
+        "ref_id", "shared", "denom",
+        F.round("identity", 6).alias("identity_r"),
+        F.round(-F.log10(F.greatest(F.col("p_value"), F.lit(1e-300))), 4).alias("neg_log10_p"),
+    )
+
+
 def _q_screen_boilerplate(spark, sf_dir):
     """Containment screen: are the 5 largest docs' sketches contained in
     the rest of the corpus?"""
@@ -289,6 +363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "srp_bucket_stats": _q_srp_bucket_stats,
         "screen_boilerplate": _q_screen_boilerplate,
+        "count_histogram": _q_count_histogram,
+        "coverage_estimates": _q_coverage_estimates,
+        "paste_sketch_sizes": _q_paste_sketch_sizes,
+        "containment_pairs": _q_containment_pairs,
+        "screen_wta": _q_screen_wta,
     }
 
 
@@ -384,6 +463,45 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 2000 AND b.vec_id < 2000
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "count_histogram": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 19)) AS i
+                FROM documents WHERE length(text) >= 21
+            ),
+            mult AS (
+                SELECT doc_id, substring(text, CAST(i AS INT), 21) AS sh,
+                       count(*) AS m
+                FROM pos GROUP BY doc_id, sh
+            )
+            SELECT doc_id, CAST(m AS INT) AS multiplicity,
+                   count(*) AS n_hashes
+            FROM mult GROUP BY doc_id, m
+        """,
+        "coverage_estimates": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 19)) AS i
+                FROM documents WHERE length(text) >= 21
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS total,
+                       count(DISTINCT substring(text, CAST(i AS INT), 21)) AS nd
+                FROM pos GROUP BY doc_id
+            )
+            SELECT doc_id, total * 1.0 / nd AS coverage FROM agg
+        """,
+        "paste_sketch_sizes": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 19)) AS i
+                FROM documents WHERE length(text) >= 21
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
+                       AS sketch_n
+            FROM pos GROUP BY doc_id
         """,
         "knn_topk": """
             WITH scored AS (

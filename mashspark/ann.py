@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _cos_expr(a, b):
@@ -77,24 +77,60 @@ def make_srp_udf(dim: int, n_bits: int = 16, seed: int = 11):
     return srp_udf
 
 
+def make_srp_multi_udf(dim: int, n_bits: int = 12, n_tables: int = 4,
+                       seed: int = 11):
+    """OR-construction SRP: array<long> of ``n_tables`` independent bucket
+    ids per embedding (table index folded into the id's high bits, so a
+    plain explode+equi-join never collides buckets across tables).
+
+    Recall math (vs a single table): a pair at angle θ agrees on one
+    n_bits table with p = (1-θ/π)**n_bits; miss probability across t
+    independent tables is (1-p)**t. At cos=0.9 (θ≈0.451 rad, p≈0.155 for
+    n_bits=12), one table misses 84.5% of true pairs — four tables still
+    miss ~51%, so high-recall settings use more/smaller tables (e.g.
+    t=8, n_bits=6: p≈0.40, miss≈1.7%). The recall gate test pins this.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits * n_tables)).astype(np.float32)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+    table_tag = (np.arange(n_tables, dtype=np.uint64) << np.uint64(n_bits + 1))
+
+    @pandas_udf(ArrayType(LongType()))
+    def srp_multi_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (mat @ planes) > 0  # (n, n_bits*n_tables)
+        signs = signs.reshape(len(mat), n_tables, n_bits)
+        buckets = (signs.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        buckets = (buckets | table_tag[None, :]).astype(np.int64)
+        return pd.Series(list(buckets))
+
+    return srp_multi_udf
+
+
 def embedding_dup_pairs(vectors: DataFrame, min_cos: float = 0.95,
-                        n_bits: int = 12, seed: int = 11,
+                        n_bits: int = 12, seed: int = 11, n_tables: int = 1,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int | None = None) -> DataFrame:
     """Approximate embedding-cosine near-dup pairs via SRP bucketing.
 
-    Only pairs sharing an SRP bucket are scored (missed-pair probability
-    for cos >= 0.95 at 12 bits: (1 - (1-acos(0.95)/pi)**12) ... mitigate
-    by multiple tables if needed; exact scoring prunes false positives).
-    Output: (id_a, id_b, cos_sim).
+    Only pairs sharing an SRP bucket in at least one of ``n_tables``
+    hash tables are scored; the exact cosine filter prunes false
+    positives, so precision is always 1.0 and ``n_tables``/``n_bits``
+    trade recall against candidate volume (see ``make_srp_multi_udf`` for
+    the recall closed form). Output: (id_a, id_b, cos_sim), distinct.
     """
     if dim is None:
         first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
-    udf = make_srp_udf(dim, n_bits=n_bits, seed=seed)
+    if n_tables <= 1:
+        udf = make_srp_udf(dim, n_bits=n_bits, seed=seed)
+        bucket_col = udf(F.col(vec_col))
+    else:
+        udf = make_srp_multi_udf(dim, n_bits=n_bits, n_tables=n_tables, seed=seed)
+        bucket_col = F.explode(udf(F.col(vec_col)))
     b = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        udf(F.col(vec_col)).alias("bucket"),
+        bucket_col.alias("bucket"),
     )
     left = b.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"

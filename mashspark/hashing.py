@@ -189,6 +189,16 @@ def murmur3_x64_128_h1_bytes(data: bytes, seed: int) -> int:
     return int(murmur3_x64_128_h1(row, seed)[0])
 
 
+# reused per-process output buffer for hash_shingles_concat: a fresh
+# multi-MB np.empty per Arrow batch goes straight back to the OS on free
+# (glibc mmap threshold), so every batch would re-pay first-touch page
+# faults — pathologically expensive on this host (measured: the SAME
+# hashing loop runs 20x slower right after a fresh large allocation).
+# Workers are single-threaded; callers consume the returned view before
+# the next call (bottom_k/np.unique copy what they keep).
+_HSC_SCRATCH = np.empty(0, dtype=np.uint64)
+
+
 def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
                          chunk_windows: int = 16_384) -> np.ndarray:
     """Hash every length-k sliding window of a flat uint8 buffer at once.
@@ -205,6 +215,7 @@ def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
     at 4M-window chunks on this host — and DRAM-streaming work stops
     scaling across cores long before cache-resident work does).
     """
+    global _HSC_SCRATCH
     if buf.ndim != 1 or buf.dtype != np.uint8:
         raise ValueError("buf must be a 1-D uint8 array")
     n = len(buf) - k + 1
@@ -213,7 +224,9 @@ def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
     windows = np.lib.stride_tricks.sliding_window_view(buf, k)
     if n <= chunk_windows:
         return murmur3_x64_128_h1(np.ascontiguousarray(windows), seed)
-    out = np.empty(n, dtype=np.uint64)
+    if len(_HSC_SCRATCH) < n:
+        _HSC_SCRATCH = np.empty(int(n * 1.25), dtype=np.uint64)
+    out = _HSC_SCRATCH[:n]
     for lo in range(0, n, chunk_windows):
         hi = min(lo + chunk_windows, n)
         out[lo:hi] = murmur3_x64_128_h1(np.ascontiguousarray(windows[lo:hi]), seed)

@@ -15,6 +15,17 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
               app_name: str = "mashspark", extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python UDF workers inherit this env (forked under the JVM): keep
+    # glibc from mmap-ing/returning large Arrow-batch buffers on every
+    # free — this host pays pathological first-touch page-fault costs that
+    # serialize across workers on the kernel mmap lock (measured: +37%
+    # single-core on the sketch UDF body). Harmless elsewhere.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    # pyarrow's jemalloc pool decays pages back to the OS between batches,
+    # re-paying those fault costs per Arrow IPC buffer; the system pool
+    # honors the glibc tuning above and keeps pages resident
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     # This sandbox's buffered-writeback path crawls (~26 MB/s vs 429 MB/s
@@ -34,7 +45,11 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 1024-row Arrow batches measured best on this host (large fresh
+        # allocations pay pathological first-touch page-fault costs; small
+        # batches stay in allocator caches): 4-core sketch stage 25s->20s
+        # and 1->4-core scaling efficiency 0.55->0.71 vs 2048
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("MASHSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -50,6 +65,15 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # size JVM pools to the requested parallelism, not the machine's 32
+    # hyperthreads: this host only scales ~linearly to ~8 busy vCPUs, and
+    # a 23-thread G1 GC burst (default sizing from 32 CPUs) stalls every
+    # mutator; capping measured 30s->24s on the 4-core sketch stage
+    b = b.config(
+        "spark.driver.extraJavaOptions",
+        f"-XX:ActiveProcessorCount={cores + 2} "
+        f"-XX:ParallelGCThreads={max(2, min(8, cores // 2))} -XX:ConcGCThreads=1",
+    )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -235,6 +235,137 @@ def _params_meta(params: SketchParams) -> dict:
     return {PARAMS_META_KEY: params.to_dict()}
 
 
+def sketch_documents_with_counts(df: DataFrame, params: SketchParams,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, sketch, counts, n_kmers, card_est). Map-only,
+    like ``sketch_documents`` but with multiplicities kept (A2)."""
+    udf = make_minhash_count_udf(params)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("_sk", udf(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("_sk.sketch").alias("sketch", metadata=_params_meta(params)),
+            F.col("_sk.counts").alias("counts"),
+            F.col("_sk.n_kmers").alias("n_kmers"),
+            F.col("_sk.card_est").alias("card_est"),
+        )
+    )
+
+
+def _params_meta(params: SketchParams) -> dict:
+    from .params import PARAMS_META_KEY
+
+    return {PARAMS_META_KEY: params.to_dict()}
+
+
+def make_sketch_arrow_gen(params: SketchParams, lsh: LSHParams,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """mapInArrow generator: RecordBatch(doc_id, text) -> RecordBatch(
+    doc_id, sketch, n_kmers, card_est, band_key, fp1, fp2).
+
+    Why Arrow-native instead of a pandas UDF: the UDF's numpy core is
+    ~flat across parallelism, but the pandas wrapping was measured to
+    stall workers between batches — materializing every document as a
+    Python str on input and every 8 KB sketch as a Python bytes on output
+    is per-doc interpreter work plus an extra copy each way. Here the
+    input text is read straight out of the Arrow string buffer (the
+    offsets+data layout IS the concatenated-bytes layout the one-pass
+    murmur wants, zero copies), and the output sketch/band columns are
+    built zero-copy from numpy buffers.
+    """
+    import pyarrow as pa
+
+    k, s, seed, min_cov = params.k, params.s, params.seed, params.min_cov
+    bands, prefix = lsh.bands, lsh.prefix
+
+    def gen(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ids = batch.column(id_col)
+            txt = batch.column(text_col)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            if txt.null_count:
+                txt = txt.fill_null("")
+            if pa.types.is_large_string(txt.type):
+                txt = txt.cast(pa.string())
+            bufs = txt.buffers()
+            all_offs = np.frombuffer(bufs[1], dtype=np.int32)
+            offs = all_offs[txt.offset : txt.offset + n_rows + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            # one explicit copy into process-heap memory: repeated reads
+            # from the Arrow-allocated buffer are ~11x slower on this host
+            # (measured) — the copy is 2 MB/batch and pays for itself in
+            # the first murmur chunk
+            big = data[offs[0] : offs[-1]].copy()
+            lens = np.diff(offs)
+
+            all_h = hash_shingles_concat(big, k, seed)
+
+            sk_parts, bk_parts = [], []
+            sk_offs = np.zeros(n_rows + 1, dtype=np.int32)
+            bk_offs = np.zeros(n_rows + 1, dtype=np.int32)
+            n_kmers = np.zeros(n_rows, dtype=np.int64)
+            cards = np.zeros(n_rows, dtype=np.int64)
+            fp1 = np.zeros(n_rows, dtype=np.int64)
+            fp2 = np.zeros(n_rows, dtype=np.int64)
+            off = 0
+            for i in range(n_rows):
+                blen = int(lens[i])
+                if blen < k:
+                    sk = np.empty(0, dtype=np.uint64)
+                    nk = 0
+                else:
+                    nk = blen - k + 1
+                    sk = bottom_k(all_h[off : off + nk], s, min_cov=min_cov)
+                off += blen
+                n_kmers[i] = nk
+                cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
+                bk = compute_band_keys(sk, bands, prefix)
+                f1, f2 = sketch_fp128(sk)
+                fp1[i] = f1
+                fp2[i] = f2
+                sk_parts.append(encode_signed(sk))
+                bk_parts.append(bk.view(np.int64))
+                sk_offs[i + 1] = sk_offs[i] + 8 * len(sk)
+                bk_offs[i + 1] = bk_offs[i] + len(bk)
+
+            sk_values = (
+                np.concatenate(sk_parts).astype("<i8").view(np.uint8)
+                if sk_parts else np.empty(0, dtype=np.uint8)
+            )
+            bk_values = (
+                np.concatenate(bk_parts) if bk_parts else np.empty(0, dtype=np.int64)
+            )
+            sketch_arr = pa.Array.from_buffers(
+                pa.binary(), n_rows,
+                [None, pa.py_buffer(sk_offs), pa.py_buffer(sk_values)],
+            )
+            band_arr = pa.ListArray.from_arrays(
+                pa.array(bk_offs, type=pa.int32()),
+                pa.array(bk_values, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    sketch_arr,
+                    pa.array(n_kmers, type=pa.int64()),
+                    pa.array(cards, type=pa.int64()),
+                    band_arr,
+                    pa.array(fp1, type=pa.int64()),
+                    pa.array(fp2, type=pa.int64()),
+                ],
+                names=["doc_id", "sketch", "n_kmers", "card_est",
+                       "band_key", "fp1", "fp2"],
+            )
+
+    return gen
+
+
 def sketch_documents(df: DataFrame, params: SketchParams, lsh: LSHParams,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, sketch, n_kmers, card_est, band_key, fp1, fp2).
@@ -243,6 +374,13 @@ def sketch_documents(df: DataFrame, params: SketchParams, lsh: LSHParams,
     sketch inside the UDF (reference skips such records,
     ``Sketch.cpp:337-341``); they stay in the output as unsketchable rows
     so downstream cluster assignment keeps them as singletons.
+
+    (A mapInArrow variant reading the Arrow string buffer zero-copy was
+    measured and REJECTED on this host: the pandas path at 1024-row
+    batches is faster both absolute and in 1->4-core scaling, because the
+    per-batch Arrow buffer handling pays this VM's pathological
+    first-touch page-fault costs more often than the pandas conversion
+    does.)
     """
     udf = make_sketch_udf(params, lsh)
     out = (

@@ -20,7 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                StructType)
 
-from .compare import binom_sf, capped_merge
+from .compare import binom_sf, capped_merge_sorted
 from .hashing import decode_sketch_bytes
 from .params import SketchParams, params_from_schema
 
@@ -49,7 +49,7 @@ def make_verify_udf(sketch_size: int):
             # here (enforced by SketchParams.check_compatible). Short docs
             # (len < s) exhaust the merge early and top up, as in the
             # reference.
-            c, d = capped_merge(sa, sb, sketch_size)
+            c, d = capped_merge_sorted(sa, sb, sketch_size)
             common[i] = c
             denom[i] = d
         return pd.DataFrame({"common": common, "denom": denom})

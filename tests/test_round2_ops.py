@@ -200,7 +200,9 @@ def test_mixture_set_size_matches_numpy(spark):
     all_h = []
     for _, t in pdf_docs:
         b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        all_h.append(hash_shingles_concat(b, 21, 42))
+        # .copy(): hash_shingles_concat may return a view into a reused
+        # per-process scratch buffer; holding results across calls needs one
+        all_h.append(hash_shingles_concat(b, 21, 42).copy())
     expected = kmv_set_size(bottom_k(np.concatenate(all_h), 100))
     assert got == expected
 
@@ -374,6 +376,61 @@ def test_bounds_table_sanity():
     assert rows[0]["err_high"] - rows[0]["err_low"] < (
         rows[-1]["err_high"] - rows[-1]["err_low"]
     ) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ANN: multi-table SRP recall gate
+# ---------------------------------------------------------------------------
+
+
+def test_srp_multitable_recall(spark):
+    """OR-construction recall >= 0.95 for planted cos>=0.9 pairs (single
+    table at the same total bit budget misses most of them)."""
+    from mashspark.ann import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    dim, n_planted = 32, 60
+    rows = []
+    vid = 0
+    planted = []
+    for i in range(n_planted):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        noise = rng.standard_normal(dim) * 0.055  # |noise|~0.31 -> cos~0.95
+        near = base + noise
+        near /= np.linalg.norm(near)
+        if float(base @ near) >= 0.9:
+            planted.append((vid, vid + 1))
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in near]))
+        vid += 2
+    # background vectors (near-orthogonal in expectation)
+    for _ in range(200):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            vecs, min_cos=0.9, n_bits=6, n_tables=8, seed=11
+        ).collect()
+    }
+    assert planted, "fixture must plant pairs"
+    recall = sum(1 for p in planted if p in got) / len(planted)
+    assert recall >= 0.95, (recall, len(planted))
+
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            vecs, min_cos=0.9, n_bits=12, n_tables=1, seed=11
+        ).collect()
+    }
+    recall_single = sum(1 for p in planted if p in single) / len(planted)
+    # the whole point of the OR-construction:
+    assert recall > recall_single
 
 
 # ---------------------------------------------------------------------------
