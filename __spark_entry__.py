@@ -310,6 +310,17 @@ def _q_containment_pairs(spark, sf_dir):
     )
 
 
+def _q_substring_dup_doc_pairs(spark, sf_dir):
+    """Suffix-array-style exact-substring dedup (third north-rule family)
+    via anchor hashing; at stride=1 a pair appears iff the docs share an
+    exact min_len-byte substring, which DuckDB can verify directly."""
+    from mashspark.substring import substring_dup_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    out = substring_dup_pairs(d, min_len=25, stride=1)
+    return out.select("id_a", "id_b")
+
+
 def _q_screen_wta(spark, sf_dir):
     """A9 winner-take-all screen (rows-only: murmur-based)."""
     from mashspark.screen import screen
@@ -368,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paste_sketch_sizes": _q_paste_sketch_sizes,
         "containment_pairs": _q_containment_pairs,
         "screen_wta": _q_screen_wta,
+        "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
     }
 
 
@@ -502,6 +514,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
                        AS sketch_n
             FROM pos GROUP BY doc_id
+        """,
+        "substring_dup_doc_pairs": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 200 AND length(text) >= 25
+            ),
+            pos AS (
+                SELECT doc_id, substring(text, CAST(i AS INT), 25) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 23)) AS i FROM d)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
         "knn_topk": """
             WITH scored AS (

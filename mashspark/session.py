@@ -62,6 +62,11 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         # verify join burned ~2600 CPU-core-sec in SMJ sorts/spills);
         # shuffled-hash joins only hash the skinny side
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # JVM<->python-worker socket buffering: at 64 KB (default) a 9 KB/row
+        # UDF output gives only ~6 rows of pipeline depth, stalling workers
+        # between batches; 4 MB measured 25.5s->21.4s on the 4-core sketch
+        # stage and +0.08 scaling efficiency
+        .config("spark.buffer.size", str(4 * 1024 * 1024))
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

@@ -1,0 +1,220 @@
+"""Exact-substring duplicate detection — the third dedup family the north
+rule names ("MinHash/SimHash/suffix-array substring").
+
+The reference-free suffix-array formulation (sort all suffixes, scan for
+long shared prefixes — Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022) is inherently a single-address-space
+algorithm; the Spark-first equivalent used here is ANCHOR HASHING, which
+finds the same >=L-byte cross-document repeats with a shuffle instead of
+a global sort:
+
+* every document is scanned once with the vectorized murmur3 kernel at
+  window length L (``hashing.hash_shingles_concat`` — the same kernel the
+  MinHash sketcher uses), and windows whose hash satisfies
+  ``h & (stride-1) == 0`` are kept as ANCHORS (content-defined
+  mod-sampling, expected density 1/stride). Selection depends only on the
+  BYTES of the window, so a repeated substring selects identical anchors
+  in every occurrence regardless of alignment — a position-grid stride
+  would only match occurrences whose offsets agree mod stride. A repeat
+  of length R contains an anchor with probability
+  1 - (1 - 1/stride)^(R-L+1) (stride 16, R = L+100: ~99.85%); 64-bit
+  murmur collisions are filtered by the exact verify below;
+* anchors shuffle as (hash, doc_id, pos) — 20 B/row, linear in corpus
+  bytes / stride, no quadratic stage. Buckets with one member are pruned
+  by the same windowed count used in the LSH join; mega-buckets (hot
+  boilerplate anchors) are capped per bucket with the count logged, like
+  ``lsh.candidate_pairs``' hard cap (no silent truncation);
+* candidate (doc_a, pos_a, doc_b, pos_b) pairs are verified EXACTLY by
+  substring equality on the anchor window (murmur collision filter), then
+  merged into maximal spans driver-lessly: adjacent anchor matches on the
+  same (doc_a, doc_b, pos_a - pos_b) diagonal are one repeat, so a
+  groupBy on the diagonal with min/max positions reconstructs each shared
+  span's extent without comparing the texts byte-by-byte again.
+
+Output: one row per (id_a, id_b, diagonal) shared run:
+(id_a, id_b, a_start, b_start, match_len_lower_bound) where
+match_len_lower_bound = last_anchor - first_anchor + L is exact for
+stride-aligned repeats and a lower bound otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
+
+from .hashing import encode_signed, hash_shingles_concat
+
+_ANCHOR_FIELDS = StructType(
+    [
+        StructField("hash", ArrayType(LongType()), False),
+        StructField("pos", ArrayType(LongType()), False),
+    ]
+)
+
+
+def make_anchor_udf(min_len: int, stride: int, seed: int = 42):
+    """text -> struct(hash[], pos[]) of content-defined anchor hashes
+    (windows with ``hash & (stride-1) == 0``; stride must be a power of
+    two; stride=1 keeps every window).
+
+    One murmur pass per Arrow batch over the concatenated bytes (the k=L
+    sliding-window kernel), then a vectorized mask — no per-row Python.
+    Positions are BYTE offsets into the utf-8 encoding.
+    """
+    if stride & (stride - 1):
+        raise ValueError("stride must be a power of two")
+    mask = np.uint64(stride - 1)
+
+    @pandas_udf(_ANCHOR_FIELDS)
+    def anchor_udf(texts: pd.Series) -> pd.DataFrame:
+        vals = texts.fillna("").astype(str).tolist()
+        bufs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in vals]
+        lens = [len(b) for b in bufs]
+        big = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
+        all_h = hash_shingles_concat(big, min_len, seed)
+        hashes, positions = [], []
+        off = 0
+        for blen in lens:
+            if blen < min_len:
+                hashes.append(np.empty(0, dtype=np.int64))
+                positions.append(np.empty(0, dtype=np.int64))
+            else:
+                nk = blen - min_len + 1
+                seg = all_h[off : off + nk]
+                pos = np.flatnonzero((seg & mask) == 0).astype(np.int64)
+                hashes.append(encode_signed(seg[pos]))
+                positions.append(pos)
+            off += blen
+        return pd.DataFrame({"hash": hashes, "pos": positions})
+
+    return anchor_udf
+
+
+def substring_dup_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
+                        seed: int = 42, bucket_cap: int = 200,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        verify: bool = True):
+    """Cross-document exact repeats of length >= min_len (found with
+    probability 1 - (1-1/stride)^(R-min_len+1) per repeat of length R —
+    certainty at stride=1).
+
+    Returns (spans_df, metrics_df).
+    spans_df: (id_a, id_b, a_start, b_start, n_anchors, match_len) with
+    id_a < id_b, one row per shared diagonal run; match_len = anchor span
+    + min_len, a lower bound on the true repeat length (tight to
+    ~2*stride in expectation).
+    metrics_df: one row (n_anchor_buckets, n_capped_buckets).
+
+    ``verify=True`` re-checks one anchor window per candidate pair by
+    exact substring equality (murmur-collision filter) — a join back to
+    the text of only the candidate docs (semi-join pruned), not a second
+    full scan.
+    """
+    udf = make_anchor_udf(min_len, stride, seed)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    anchors = (
+        base.withColumn("_a", udf(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(F.arrays_zip(F.col("_a.hash"), F.col("_a.pos"))).alias("hp"),
+        )
+        .select("doc_id", F.col("hp.hash").alias("hash"), F.col("hp.pos").alias("pos"))
+    )
+
+    # prune singleton buckets with a windowed count over the one hash
+    # shuffle; cap mega-buckets (hot boilerplate anchors) with the count
+    # kept as a metric — candidates only ADD pairs, so a cap bounds cost
+    # at the price of recall on >cap-way repeated boilerplate, which the
+    # MinHash family catches at document granularity anyway
+    w = Window.partitionBy("hash")
+    sized = anchors.withColumn("bucket_n", F.count("*").over(w)).filter(
+        F.col("bucket_n") > 1
+    )
+    metrics = sized.groupBy("hash").agg(F.first("bucket_n").alias("n")).agg(
+        F.count("*").alias("n_anchor_buckets"),
+        F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_capped_buckets"),
+    )
+    wr = Window.partitionBy("hash").orderBy("doc_id", "pos")
+    capped = (
+        sized.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= bucket_cap)
+        .select("doc_id", "hash", "pos")
+    )
+
+    left = capped.select(
+        F.col("doc_id").alias("id_a"), "hash", F.col("pos").alias("pos_a")
+    )
+    right = capped.select(
+        F.col("doc_id").alias("id_b"), "hash", F.col("pos").alias("pos_b")
+    )
+    cand = left.join(right, "hash").filter(F.col("id_a") < F.col("id_b"))
+
+    if verify:
+        # exact substring equality for ONE window per (pair, diagonal):
+        # joins only candidate docs' texts (semi-join pruning)
+        texts = base
+        need_a = cand.select(F.col("id_a").alias("doc_id")).distinct()
+        need_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
+        # anchor positions are BYTE offsets (the murmur kernel hashes utf-8
+        # bytes), so compare byte slices: substring over the encoded binary
+        # column slices bytes, staying correct for multi-byte characters
+        ta = texts.join(need_a, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("id_a"), F.encode("text", "utf-8").alias("_ta")
+        )
+        tb = texts.join(need_b, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("id_b"), F.encode("text", "utf-8").alias("_tb")
+        )
+        cand = (
+            cand.join(ta, "id_a")
+            .join(tb, "id_b")
+            .filter(
+                F.substring(F.col("_ta"), F.col("pos_a").cast("int") + 1, min_len)
+                == F.substring(F.col("_tb"), F.col("pos_b").cast("int") + 1, min_len)
+            )
+            .drop("_ta", "_tb")
+        )
+
+    # merge anchor matches into maximal diagonal runs: same (id_a, id_b,
+    # pos_a - pos_b) = same shared span. Content-defined anchors are
+    # spaced geometrically (mean = stride), so a gap > 8*stride windows
+    # (P ~ (1-1/stride)^(8*stride) ~ 0.03%) splits runs — an occasional
+    # split only under-reports match_len, never invents a match
+    diag = cand.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        diag.withColumn(
+            "brk",
+            F.when(
+                F.col("pos_a") - F.lag("pos_a", 1).over(wd) > 8 * stride, 1
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy("id_a", "id_b", "diag", "run_id")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            F.count("*").alias("n_anchors"),
+            (F.max("pos_a") - F.min("pos_a") + min_len).alias("match_len"),
+        )
+        .drop("run_id")
+    )
+    return runs, metrics
+
+
+def substring_dup_pairs(docs: DataFrame, min_len: int = 50, stride: int = 16,
+                        seed: int = 42, **kw) -> DataFrame:
+    """Document-level rollup: (id_a, id_b, n_spans, total_match_len,
+    max_match_len) for pairs sharing >= 1 exact repeat."""
+    spans, _ = substring_dup_spans(docs, min_len=min_len, stride=stride,
+                                   seed=seed, **kw)
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("match_len").alias("total_match_len"),
+        F.max("match_len").alias("max_match_len"),
+    )

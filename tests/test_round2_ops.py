@@ -232,6 +232,23 @@ def _contain_reference_loop(ref, query):
     return common, j
 
 
+def test_capped_merge_sorted_equivalence():
+    """The verify hot path's sorted-merge kernel must equal the
+    golden-tested capped_merge on every input shape."""
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(300):
+        na, nb = rng.integers(0, 50, size=2)
+        pool = rng.choice(np.arange(200, dtype=np.uint64), size=120, replace=False)
+        a = np.sort(rng.choice(pool, size=na, replace=False))
+        b = np.sort(rng.choice(pool, size=nb, replace=False))
+        s = int(rng.integers(1, 60))
+        cases.append((a, b, s))
+    cases.append((np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), 10))
+    for a, b, s in cases:
+        assert compare.capped_merge_sorted(a, b, s) == compare.capped_merge(a, b, s)
+
+
 def test_contain_closed_form_vs_reference_loop():
     rng = np.random.default_rng(11)
     for trial in range(200):
@@ -288,6 +305,39 @@ def test_incompatible_params_raise(spark, docs):
     # compatible params pass through
     assert verify_pairs(cands, sk21, SketchParams(k=21, s=64)).count() == 1
     assert paste(sk21, sk21).count() == 2 * docs.count()
+
+
+def test_verify_pvalue_filter_and_screen_identity_min(spark, docs):
+    """F2 (-v max-pvalue on dist) and F3 (-i min-identity on screen)
+    exercised through the Spark ops."""
+    from mashspark.screen import screen
+    from mashspark.sketch import sketch_documents
+    from mashspark.verify import verify_pairs
+
+    sp = SketchParams(k=21, s=64)
+    sk = sketch_documents(docs, sp, LSHParams())
+    ids = sk.select("doc_id")
+    cands = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .limit(200)
+    )
+    allp = verify_pairs(cands, sk, sp, with_pvalue=True)
+    n_all = allp.count()
+    assert n_all > 0
+    # p-values on random-ish text pairs are heavily bimodal; a mid cutoff
+    # must drop the high-p (non-significant) pairs and keep the rest
+    cutoff = 1e-3
+    kept = verify_pairs(cands, sk, sp, max_pvalue=cutoff).count()
+    manual = allp.filter(F.col("p_value") <= cutoff).count()
+    assert kept == manual
+
+    refs = docs.limit(3)
+    refs_sk = sketch_documents(refs, sp, LSHParams())
+    scr = screen(refs_sk, docs, sp)
+    hi = scr.filter(F.col("identity") >= 0.99).count()
+    assert screen(refs_sk, docs, sp, identity_min=0.99).count() == hi
 
 
 def test_params_survive_parquet_roundtrip(spark, docs, tmp_path):
@@ -376,6 +426,66 @@ def test_bounds_table_sanity():
     assert rows[0]["err_high"] - rows[0]["err_low"] < (
         rows[-1]["err_high"] - rows[-1]["err_low"]
     ) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# substring dedup (third north-rule family)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_planted_repeat(spark):
+    from mashspark.substring import substring_dup_spans
+
+    rng = np.random.default_rng(2)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghij kmnopq")) for _ in range(n))
+
+    shared = rand_text(230)
+    rows = [
+        (1, rand_text(300) + shared + rand_text(120)),
+        (2, rand_text(80) + shared + rand_text(350)),
+        (3, rand_text(600)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    spans, metrics = substring_dup_spans(d, min_len=50, stride=16)
+    got = spans.collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    best = max(r.match_len for r in got if (r.id_a, r.id_b) == (1, 2))
+    # content-defined anchor resolution: match_len is a lower bound, tight
+    # to a few strides (geometric anchor spacing, mean = stride)
+    assert 230 - 5 * 16 <= best <= 230
+    m = metrics.collect()[0]
+    assert m.n_capped_buckets == 0
+
+
+def test_substring_stride1_matches_bruteforce(spark):
+    """stride=1: pair reported iff the docs share an exact L-byte gram."""
+    from mashspark.substring import substring_dup_pairs
+
+    rng = np.random.default_rng(9)
+    alphabet = list("abcdef ")
+    texts = ["".join(rng.choice(alphabet) for _ in range(120)) for _ in range(12)]
+    # plant one genuine share
+    texts[4] = texts[4][:40] + texts[7][30:55] + texts[4][65:]
+    L = 20
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in substring_dup_pairs(d, min_len=L, stride=1).collect()
+    }
+    want = set()
+    grams = [
+        {t[i : i + L] for i in range(len(t) - L + 1)} for t in texts
+    ]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if grams[i] & grams[j]:
+                want.add((i, j))
+    assert got == want
+    assert want, "fixture must contain at least one shared gram"
 
 
 # ---------------------------------------------------------------------------
