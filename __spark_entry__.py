@@ -310,6 +310,44 @@ def _q_containment_pairs(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup_decisions(spark, sf_dir):
+    """Structured Streaming incremental near-dup engine (foreachBatch +
+    persisted sketch store): fixture docs replayed as two micro-batches;
+    returns the per-doc dedup decisions. Streaming + murmur -> rows-only."""
+    import shutil
+    import tempfile
+
+    from mashspark.streaming import incremental_dedup
+
+    work = tempfile.mkdtemp(prefix="mashspark_stream_q_")
+    try:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        ts = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        half = docs.withColumn("warc_ts", ts)
+        indir = f"{work}/in"
+        half.filter(F.col("doc_id") < 150).coalesce(1).write.parquet(f"{indir}/c0")
+        half.filter(F.col("doc_id") >= 150).coalesce(1).write.parquet(f"{indir}/c1")
+        stream = (
+            spark.readStream.schema(half.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{indir}/c*")
+        )
+        cfg = PipelineConfig(
+            sketch=SketchParams(k=21, s=1000, seed=42), jaccard_threshold=0.7
+        )
+        q = incremental_dedup(stream, f"{work}/store", cfg,
+                              checkpoint=f"{work}/ckpt")
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(f"{work}/store/decisions")
+            .select("doc_id", "dup_of")
+            .toPandas()
+        )
+        return spark.createDataFrame(out, "doc_id long, dup_of long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_substring_dup_doc_pairs(spark, sf_dir):
     """Suffix-array-style exact-substring dedup (third north-rule family)
     via anchor hashing; at stride=1 a pair appears iff the docs share an
@@ -380,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "screen_wta": _q_screen_wta,
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
+        "streaming_dedup_decisions": _q_streaming_dedup_decisions,
     }
 
 

@@ -50,7 +50,7 @@ DUP_PROB = float(os.environ.get("SPARK_GRAFT_BENCH_DUP_PROB", "0.3"))
 # identical back-to-back runs vary +-20% on this VM.
 # On real hardware with >=32 dedicated cores set SPARK_GRAFT_SCALE_LOW=8.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "900"))
 # the scaling pair gets its own corpus, sized so COMPUTE dominates fixed
 # stage overhead at the low leg (~1250 docs/s/core sketch rate measured):

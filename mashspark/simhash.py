@@ -96,21 +96,26 @@ def simhash_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     nb = max_hamming + 1
     width = 64 // nb
-    blocks = []
+    structs = []
     for bi in range(nb):
         lo = bi * width
         w = width if bi < nb - 1 else 64 - lo
         blk = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
             F.lit((1 << w) - 1).cast("long")
         )
-        blocks.append(
-            sigs.select(
-                "doc_id", "simhash", F.lit(bi).alias("block_idx"), blk.alias("block_val")
-            )
+        structs.append(
+            F.struct(F.lit(bi).alias("block_idx"), blk.alias("block_val"))
         )
-    exploded = blocks[0]
-    for b in blocks[1:]:
-        exploded = exploded.unionByName(b)
+    # ONE scan of sigs (array+explode), then localCheckpoint so the
+    # self-join's two branches reuse the materialized rows — a union of
+    # per-block projections re-ran the upstream simhash UDF once per
+    # branch per join side (measured 8x recompute at bench scale)
+    exploded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("_b")
+    ).select(
+        "doc_id", "simhash", F.col("_b.block_idx").alias("block_idx"),
+        F.col("_b.block_val").alias("block_val"),
+    ).localCheckpoint(eager=False)
     left = exploded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
         "block_idx", "block_val",
