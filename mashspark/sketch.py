@@ -99,6 +99,69 @@ def sketch_fp128(sk: np.ndarray) -> tuple[int, int]:
     return int(np.uint64(f1).view(np.int64)), int(np.uint64(f2).view(np.int64))
 
 
+def batch_band_keys(sketches: list, bands: int, prefix: int | None):
+    """``compute_band_keys`` for a whole batch of sketches with ONE stable
+    argsort + reduceat over the concatenation (group key = doc*bands +
+    residue class) instead of ~10 small numpy calls per document — the
+    per-doc calls were half the sketch UDF's CPU. Bit-identical outputs
+    (asserted by tests). Returns a list of int64 arrays."""
+    n_docs = len(sketches)
+    pres = [
+        (sk[:prefix] if prefix is not None else sk) for sk in sketches
+    ]
+    lens = np.array([len(p) for p in pres], dtype=np.int64)
+    out: list = [None] * n_docs
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(n_docs)]
+    vals = np.concatenate([pres[i] for i in nz])
+    doc_of = np.repeat(np.arange(len(nz), dtype=np.uint64), lens[nz])
+    mask = np.uint64(bands - 1)
+    cls = vals & mask
+    g = doc_of * np.uint64(bands) + cls
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    mixed = _fmix64(vals[order] * _GOLD ^ _BANDSEED)
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    xors = np.bitwise_xor.reduceat(mixed, starts)
+    counts = np.diff(np.r_[starts, len(gs)]).astype(np.uint64)
+    idx = gs[starts] & mask
+    keys = _fmix64(xors ^ _fmix64(counts * _GOLD ^ idx ^ _BANDSEED)).view(np.int64)
+    group_doc = (gs[starts] // np.uint64(bands)).astype(np.int64)
+    bounds = np.searchsorted(group_doc, np.arange(len(nz) + 1, dtype=np.int64))
+    for j, i in enumerate(nz):
+        out[i] = keys[bounds[j] : bounds[j + 1]]
+    for i in np.flatnonzero(lens == 0):
+        out[i] = np.empty(0, dtype=np.int64)
+    return out
+
+
+def batch_fp128(sketches: list):
+    """``sketch_fp128`` for a whole batch via two reduceat passes.
+    Bit-identical outputs (asserted by tests). Returns (fp1, fp2) int64
+    arrays."""
+    n_docs = len(sketches)
+    lens = np.array([len(sk) for sk in sketches], dtype=np.int64)
+    fp1 = np.zeros(n_docs, dtype=np.int64)
+    fp2 = np.zeros(n_docs, dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return fp1, fp2
+    vals = np.concatenate([sketches[i] for i in nz])
+    starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    n_u = lens[nz].astype(np.uint64)
+    f1 = np.bitwise_xor.reduceat(_fmix64(vals ^ _FPS1), starts) ^ _fmix64(
+        n_u * _GOLD ^ _FPS1
+    )
+    f2 = np.bitwise_xor.reduceat(_fmix64(vals ^ _FPS2), starts) ^ _fmix64(
+        n_u * _GOLD ^ _FPS2
+    )
+    fp1[nz] = f1.view(np.int64)
+    fp2[nz] = f2.view(np.int64)
+    return fp1, fp2
+
+
 def make_sketch_udf(params: SketchParams, lsh: LSHParams):
     k, s, seed, min_cov = params.k, params.s, params.seed, params.min_cov
     bands, prefix = lsh.bands, lsh.prefix
@@ -112,11 +175,9 @@ def make_sketch_udf(params: SketchParams, lsh: LSHParams):
         all_h = hash_shingles_concat(big, k, seed)
 
         n_rows = len(lens)
-        sketches, bkey_col = [], []
+        raw_sketches, sketches = [], []
         n_kmers = np.zeros(n_rows, dtype=np.int64)
         cards = np.zeros(n_rows, dtype=np.int64)
-        fp1 = np.zeros(n_rows, dtype=np.int64)
-        fp2 = np.zeros(n_rows, dtype=np.int64)
         off = 0
         for i, blen in enumerate(lens):
             if blen < k:
@@ -128,18 +189,16 @@ def make_sketch_udf(params: SketchParams, lsh: LSHParams):
             off += blen
             n_kmers[i] = nk
             cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
-            bk = compute_band_keys(sk, bands, prefix)
-            f1, f2 = sketch_fp128(sk)
-            fp1[i] = f1
-            fp2[i] = f2
+            raw_sketches.append(sk)
             sketches.append(encode_signed(sk).astype("<i8").tobytes())
-            bkey_col.append(bk.view(np.int64))
+        bkeys = batch_band_keys(raw_sketches, bands, prefix)
+        fp1, fp2 = batch_fp128(raw_sketches)
         return pd.DataFrame(
             {
                 "sketch": sketches,
                 "n_kmers": n_kmers,
                 "card_est": cards,
-                "band_key": bkey_col,
+                "band_key": bkeys,
                 "fp1": fp1,
                 "fp2": fp2,
             }
