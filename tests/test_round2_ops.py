@@ -208,6 +208,58 @@ def test_mixture_set_size_matches_numpy(spark):
 
 
 # ---------------------------------------------------------------------------
+# J1-J3 goldens THROUGH the Spark verify op
+# ---------------------------------------------------------------------------
+
+
+def test_dist_goldens_through_spark_op(spark, genomes_golden):
+    """Every genomes.dist row (distance, p-value, common/denom) reproduced
+    by verify_pairs — the production Spark operator, not the numpy core."""
+    import json as _json
+
+    with open(os.path.join(REF, "test", "ref", "reads.json")) as f:
+        reads_golden = _json.load(f)
+    reads = golden_sketch(reads_golden, 0)
+    reads_len = reads_golden["sketches"][0]["length"]
+
+    rows = [(100, bytearray(encode_signed(reads).astype("<i8").tobytes()),
+             int(reads_len))]
+    name_by_id = {}
+    for i, s in enumerate(genomes_golden["sketches"]):
+        h = golden_sketch(genomes_golden, i)
+        rows.append(
+            (i, bytearray(encode_signed(h).astype("<i8").tobytes()),
+             int(s["length"]))
+        )
+        name_by_id[i] = s["name"]
+    sk = spark.createDataFrame(rows, "doc_id long, sketch binary, card_est long")
+    cands = spark.createDataFrame(
+        [(i, 100) for i in name_by_id], "id_a long, id_b long"
+    )
+    from mashspark.verify import verify_pairs
+
+    sp = SketchParams(k=K, s=S, seed=SEED, alphabet_size=4)
+    out = {
+        name_by_id[r.id_a]: r
+        for r in verify_pairs(
+            cands, sk, sp, with_pvalue=True, prefix_filter=None
+        ).collect()
+    }
+    golden = []
+    with open(os.path.join(REF, "test", "ref", "genomes.dist")) as f:
+        for line in f:
+            ref, _q, dist, pval, shared = line.split("\t")
+            c, d = shared.strip().split("/")
+            golden.append((ref, float(dist), float(pval), int(c), int(d)))
+    assert len(golden) > 0
+    for name, dist_g, pval_g, common_g, denom_g in golden:
+        r = out[name]
+        assert (r.common, r.denom) == (common_g, denom_g), name
+        assert math.isclose(r.mash_dist, dist_g, abs_tol=5e-6), name
+        assert math.isclose(r.p_value, pval_g, rel_tol=5e-5), (name, r.p_value)
+
+
+# ---------------------------------------------------------------------------
 # J6: containment
 # ---------------------------------------------------------------------------
 
