@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from .hashing import encode_signed, hash_shingles_concat, murmur3_x64_128_h1
+from .hashing import hash_shingles_concat
 
 PUNCT = ".,!?;:"
 _STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that", "this", "with"]
@@ -139,20 +139,13 @@ def shingle_cardinality(df: DataFrame, k: int = 21, id_col: str = "doc_id",
     )
 
 
-@pandas_udf(LongType())
-def fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """64-bit document fingerprint = murmur3_x64_128 h1 of the full utf-8
-    bytes, sign-flip-encoded (content-hash dedup key)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    vals = texts.fillna("").astype(str)
-    for i, t in enumerate(vals):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).reshape(1, -1)
-        if b.shape[1] == 0:
-            b = np.zeros((1, 0), dtype=np.uint8)
-        out[i] = encode_signed(murmur3_x64_128_h1(b, 42))[0]
-    return pd.Series(out)
-
-
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col), fingerprint_udf(F.col(text_col)).alias("fp64"))
+    """64-bit document content fingerprint (exact-dedup grouping key).
+
+    ``xxhash64`` — a JVM built-in inside whole-stage codegen — replaces
+    the former murmur3 pandas UDF: a content key only needs a collision-
+    resistant hash, not the Mash hash, and the built-in is ~100x cheaper
+    (no Arrow round-trip, no per-row Python). Anything needing Mash's
+    murmur3 semantics goes through ``sketch.py``."""
+    return df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("fp64"))
