@@ -41,23 +41,24 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     Returns (pairs_df, metrics_df). metrics_df: one row —
     (n_buckets, n_hot_buckets, n_dropped_buckets, n_dropped_docs).
     """
-    from pyspark.sql import Window
+    bands = explode_bands(sketches).localCheckpoint(eager=False)
 
-    bands = explode_bands(sketches)
-
-    # bucket sizes via window over the same band-key shuffle (one exchange,
-    # not groupBy+join back); buckets of size 1 produce no pairs — prune
-    w = Window.partitionBy("band_key")
-    sized = (
-        bands.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") > 1)
+    # bucket sizes via groupBy, NOT a window: groupBy does map-side
+    # partial aggregation (a hot boilerplate bucket is pre-reduced inside
+    # every input partition before the exchange), while a window over
+    # partitionBy(band_key) funnels the WHOLE mega-bucket into one
+    # unsplittable task at web scale. The size table is only consulted as
+    # two SMALL key sets (hot keys, pruned singleton keys are implicit:
+    # singleton buckets simply produce no self-join output), so the fat
+    # band relation is never joined against an O(buckets) table.
+    sizes = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("bucket_n"))
         .localCheckpoint(eager=False)
     )
-    sizes = sized.groupBy("band_key").agg(
-        F.first("bucket_n").alias("bucket_n")
-    )
+    multi = sizes.filter(F.col("bucket_n") > 1)
 
-    metrics = sizes.agg(
+    metrics = multi.agg(
         F.count("*").alias("n_buckets"),
         F.sum((F.col("bucket_n") > band_doc_cap).cast("long")).alias("n_hot_buckets"),
         F.sum((F.col("bucket_n") > hard_bucket_cap).cast("long")).alias("n_dropped_buckets"),
@@ -66,9 +67,15 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
         ).alias("n_dropped_docs"),
     )
 
-    cold = sized.filter(F.col("bucket_n") <= band_doc_cap).drop("bucket_n")
-    hot = sized.filter(
-        (F.col("bucket_n") > band_doc_cap) & (F.col("bucket_n") <= hard_bucket_cap)
+    # hot/dropped key sets are tiny (boilerplate phenomena — a handful of
+    # keys even at web scale); AQE broadcasts them, so tagging the band
+    # relation costs no extra shuffle and no unsplittable stage
+    hot_keys = sizes.filter(F.col("bucket_n") > band_doc_cap).select(
+        "band_key", "bucket_n"
+    )
+    cold = bands.join(hot_keys.select("band_key"), "band_key", "left_anti")
+    hot = bands.join(
+        hot_keys.filter(F.col("bucket_n") <= hard_bucket_cap), "band_key", "left_semi"
     )
 
     # --- cold path: plain self-join per bucket (AQE splits residual skew)
