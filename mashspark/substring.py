@@ -20,10 +20,11 @@ a global sort:
   1 - (1 - 1/stride)^(R-L+1) (stride 16, R = L+100: ~99.85%); 64-bit
   murmur collisions are filtered by the exact verify below;
 * anchors shuffle as (hash, doc_id, pos) — 20 B/row, linear in corpus
-  bytes / stride, no quadratic stage. Buckets with one member are pruned
-  by the same windowed count used in the LSH join; mega-buckets (hot
-  boilerplate anchors) are capped per bucket with the count logged, like
-  ``lsh.candidate_pairs``' hard cap (no silent truncation);
+  bytes / stride, no quadratic stage. Bucket sizes come from a skew-safe
+  groupBy (map-side partial aggregation); mega-buckets (hot boilerplate
+  anchors) are dropped via an anti-join against the tiny over-cap key
+  set, with the drop count logged like ``lsh.candidate_pairs``' hard cap
+  (no silent truncation);
 * candidate (doc_a, pos_a, doc_b, pos_b) pairs are verified EXACTLY by
   substring equality on the anchor window (murmur collision filter), then
   merged into maximal spans driver-lessly: adjacent anchor matches on the
@@ -125,24 +126,23 @@ def substring_dup_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
         .select("doc_id", F.col("hp.hash").alias("hash"), F.col("hp.pos").alias("pos"))
     )
 
-    # prune singleton buckets with a windowed count over the one hash
-    # shuffle; cap mega-buckets (hot boilerplate anchors) with the count
-    # kept as a metric — candidates only ADD pairs, so a cap bounds cost
-    # at the price of recall on >cap-way repeated boilerplate, which the
-    # MinHash family catches at document granularity anyway
-    w = Window.partitionBy("hash")
-    sized = anchors.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") > 1
-    )
-    metrics = sized.groupBy("hash").agg(F.first("bucket_n").alias("n")).agg(
+    # bucket accounting via groupBy (map-side partial agg — skew-safe, no
+    # per-bucket window task); anchors in buckets above ``bucket_cap``
+    # are DROPPED with the count logged (no silent truncation): a
+    # >cap-way repeated substring is boilerplate, which the MinHash
+    # family handles at document granularity — this operator's target is
+    # long low-multiplicity repeats. The fat anchor relation only ever
+    # joins the tiny over-cap KEY SET (AQE broadcasts it).
+    anchors = anchors.localCheckpoint(eager=False)
+    sizes = anchors.groupBy("hash").agg(F.count("*").alias("n"))
+    multi = sizes.filter(F.col("n") > 1)
+    metrics = multi.agg(
         F.count("*").alias("n_anchor_buckets"),
         F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_capped_buckets"),
     )
-    wr = Window.partitionBy("hash").orderBy("doc_id", "pos")
-    capped = (
-        sized.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= bucket_cap)
-        .select("doc_id", "hash", "pos")
+    over_cap = sizes.filter(F.col("n") > bucket_cap).select("hash")
+    capped = anchors.join(over_cap, "hash", "left_anti").select(
+        "doc_id", "hash", "pos"
     )
 
     left = capped.select(
