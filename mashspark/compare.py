@@ -72,6 +72,74 @@ def capped_merge_sorted(a: np.ndarray, b: np.ndarray, sketch_size: int) -> tuple
     return common, denom
 
 
+_PAD = np.iinfo(np.int64).max
+
+
+def capped_merge_sorted_batch(arrs_a: list, arrs_b: list, sketch_size: int):
+    """Batch of capped merges over signed-encoded int64 sketch views
+    (ordering-safe: signed ascending == unsigned ascending of the
+    underlying hashes, see ``hashing.signed_sketch_bytes``).
+
+    One 2-D sort over the whole Arrow batch replaces the per-pair Python
+    loop: each pair's two sorted runs are laid into a row of a
+    ``_PAD``-padded matrix, sorted row-wise, and the distinct/shared
+    bookkeeping of ``capped_merge_sorted`` runs as column-axis reductions.
+    Rows containing the sentinel value itself (probability ~2**-64 per
+    hash) fall back to the scalar path, so results are bit-identical.
+
+    Returns (common, denom) int32 arrays.
+    """
+    n = len(arrs_a)
+    common = np.zeros(n, dtype=np.int32)
+    denom = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return common, denom
+    la = np.fromiter((len(a) for a in arrs_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(b) for b in arrs_b), dtype=np.int64, count=n)
+    lens = la + lb
+    width = int(lens.max())
+    if width == 0:
+        return common, denom
+    mat = np.full((n, width), _PAD, dtype=np.int64)
+    mask = np.arange(width) < lens[:, None]
+    flat = np.empty(int(lens.sum()), dtype=np.int64)
+    off = 0
+    for i in range(n):
+        flat[off:off + la[i]] = arrs_a[i]
+        off += la[i]
+        flat[off:off + lb[i]] = arrs_b[i]
+        off += lb[i]
+    mat[mask] = flat
+    bad = np.zeros(n, dtype=bool)
+    if flat.size and flat.max() == _PAD:
+        # sentinel collision: redo those rows scalar (bit-exactness)
+        bad = (mat == _PAD).sum(axis=1) > (width - lens)
+    mat.sort(axis=1, kind="stable")
+    dup = mat[:, 1:] == mat[:, :-1]
+    is_first = np.empty((n, width), dtype=bool)
+    is_first[:, 0] = True
+    np.logical_not(dup, out=is_first[:, 1:])
+    # a padding run's first cell sits at column lens[i] (PAD sorts last);
+    # masking by column < lens keeps exactly the real distinct values
+    is_first &= mask
+    shared = np.zeros((n, width), dtype=bool)
+    shared[:, :-1] = dup
+    shared &= is_first
+    rank = np.cumsum(is_first, axis=1)  # 1-based distinct index per cell
+    denom[:] = np.minimum(sketch_size, rank[:, -1]).astype(np.int32)
+    common[:] = ((shared & (rank <= sketch_size)).sum(axis=1)).astype(np.int32)
+    if bad.any():
+        from .hashing import decode_signed
+
+        for i in np.flatnonzero(bad):
+            c, d = capped_merge_sorted(
+                decode_signed(np.asarray(arrs_a[i], dtype=np.int64)),
+                decode_signed(np.asarray(arrs_b[i], dtype=np.int64)),
+                sketch_size)
+            common[i], denom[i] = c, d
+    return common, denom
+
+
 def capped_merge_batch(sk_a: list, sk_b: list, sketch_size: int):
     """Vectorized-ish batch of capped merges; returns (common, denom) int64 arrays."""
     n = len(sk_a)

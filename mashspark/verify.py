@@ -20,8 +20,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                StructType)
 
-from .compare import binom_sf, capped_merge_sorted
-from .hashing import decode_sketch_bytes
+from .compare import binom_sf, capped_merge_sorted_batch
+from .hashing import decode_sketch_bytes, signed_sketch_bytes
 from .params import SketchParams, params_from_schema
 
 _MERGE_FIELDS = StructType(
@@ -38,20 +38,15 @@ def make_verify_udf(sketch_size: int):
 
     @pandas_udf(_MERGE_FIELDS)
     def verify_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        n = len(a)
-        common = np.zeros(n, dtype=np.int32)
-        denom = np.zeros(n, dtype=np.int32)
-        for i in range(n):
-            sa = decode_sketch_bytes(a.iloc[i])
-            sb = decode_sketch_bytes(b.iloc[i])
-            # sketch_size is min(s_a, s_b) of the PARAMETER s
-            # (CommandDistance.cpp:313-315); both sides share one config
-            # here (enforced by SketchParams.check_compatible). Short docs
-            # (len < s) exhaust the merge early and top up, as in the
-            # reference.
-            c, d = capped_merge_sorted(sa, sb, sketch_size)
-            common[i] = c
-            denom[i] = d
+        # sketch_size is min(s_a, s_b) of the PARAMETER s
+        # (CommandDistance.cpp:313-315); both sides share one config here
+        # (enforced by SketchParams.check_compatible). Short docs
+        # (len < s) exhaust the merge early and top up, as in the
+        # reference. One vectorized 2-D merge over the whole Arrow batch
+        # (signed-encoded views are zero-copy and order-preserving).
+        arrs_a = [signed_sketch_bytes(buf) for buf in a]
+        arrs_b = [signed_sketch_bytes(buf) for buf in b]
+        common, denom = capped_merge_sorted_batch(arrs_a, arrs_b, sketch_size)
         return pd.DataFrame({"common": common, "denom": denom})
 
     return verify_udf

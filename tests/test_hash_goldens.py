@@ -201,6 +201,34 @@ def test_capped_merge_properties():
     assert (common, denom) == (c, d)
 
 
+def test_capped_merge_batch_bit_exact():
+    """Vectorized batch merge == scalar reference on random ragged pairs,
+    including the sentinel-collision fallback and empty sketches."""
+    from mashspark.hashing import decode_signed, encode_signed
+
+    rng = np.random.default_rng(11)
+    arrs_a, arrs_b, expect = [], [], []
+    for _ in range(200):
+        la, lb = rng.integers(0, 1300, size=2)
+        pool = rng.integers(0, 4000, size=3000, dtype=np.uint64) * np.uint64(2**50)
+        a = np.unique(rng.choice(pool, la, replace=False)) if la else np.empty(0, np.uint64)
+        b = np.unique(rng.choice(pool, lb, replace=False)) if lb else np.empty(0, np.uint64)
+        expect.append(compare.capped_merge(a, b, S))
+        arrs_a.append(np.sort(encode_signed(a)))
+        arrs_b.append(np.sort(encode_signed(b)))
+    # a pair whose signed view contains the padding sentinel
+    pad = np.iinfo(np.int64).max
+    arrs_a.append(np.array([1, 5, pad], dtype=np.int64))
+    arrs_b.append(np.array([5, 9], dtype=np.int64))
+    expect.append(compare.capped_merge(
+        decode_signed(arrs_a[-1]), decode_signed(arrs_b[-1]), S))
+    common, denom = compare.capped_merge_sorted_batch(arrs_a, arrs_b, S)
+    for i, (c, d) in enumerate(expect):
+        assert (common[i], denom[i]) == (c, d), i
+    c0, d0 = compare.capped_merge_sorted_batch([], [], S)
+    assert len(c0) == 0 and len(d0) == 0
+
+
 def test_identity_and_bounds():
     assert float(compare.identity(44, 1000, K)) == pytest.approx(0.861792, abs=1e-6)
     assert compare.error_bound(1000) == pytest.approx(0.0316227766)
