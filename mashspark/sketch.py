@@ -294,31 +294,6 @@ def _params_meta(params: SketchParams) -> dict:
     return {PARAMS_META_KEY: params.to_dict()}
 
 
-def sketch_documents_with_counts(df: DataFrame, params: SketchParams,
-                                 id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
-    """documents -> (doc_id, sketch, counts, n_kmers, card_est). Map-only,
-    like ``sketch_documents`` but with multiplicities kept (A2)."""
-    udf = make_minhash_count_udf(params)
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("_sk", udf(F.col("text")))
-        .select(
-            "doc_id",
-            F.col("_sk.sketch").alias("sketch", metadata=_params_meta(params)),
-            F.col("_sk.counts").alias("counts"),
-            F.col("_sk.n_kmers").alias("n_kmers"),
-            F.col("_sk.card_est").alias("card_est"),
-        )
-    )
-
-
-def _params_meta(params: SketchParams) -> dict:
-    from .params import PARAMS_META_KEY
-
-    return {PARAMS_META_KEY: params.to_dict()}
-
-
 def make_sketch_arrow_gen(params: SketchParams, lsh: LSHParams,
                           id_col: str = "doc_id", text_col: str = "text"):
     """mapInArrow generator: RecordBatch(doc_id, text) -> RecordBatch(
