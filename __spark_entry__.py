@@ -393,6 +393,49 @@ def _q_screen_boilerplate(spark, sf_dir):
     )
 
 
+def _q_best_k_hits(spark, sf_dir):
+    """F7 (find -b best-k hits, CommandFind.cpp:37) exercised through the
+    Spark window operator ``verify.best_k_hits``: per query doc keep the 3
+    nearest neighbours by n-gram-Jaccard distance, ties to the earlier
+    ref. The pair base is SQL-expressible (trigram Jaccard), so the
+    whole thing is oracle-checked."""
+    from mashspark.verify import best_k_hits
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-3), i -> "
+                "concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.withColumnRenamed("doc_id", "id_a")
+    b = grams.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "mash_dist",
+            1.0 - F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return best_k_hits(pairs, b=3).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -419,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_wta": _q_screen_wta,
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
+        "best_k_hits": _q_best_k_hits,
     }
 
 
@@ -472,6 +516,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
                        AS n_shingles
             FROM pos GROUP BY doc_id
+        """,
+        "best_k_hits": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3
+            ),
+            pos AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                       ws[CAST(i AS INT)+2] AS gram
+                FROM pos
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT i.id_a, i.id_b, i.n_inter, ca.n AS n_a, cb.n AS n_b,
+                       1.0 - i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter) AS dist
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.id_a
+                JOIN counts cb ON cb.doc_id = i.id_b
+            )
+            SELECT id_a, id_b, n_inter, n_a, n_b FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id_b ORDER BY dist ASC, id_a ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 3
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -109,6 +109,45 @@ def run_checkpointed(
     return spark.read.parquet(os.path.join(table_path, "bucket=*"))
 
 
+def params_fingerprint(params) -> str:
+    """Canonical manifest fingerprint of a SketchParams (stable key order)."""
+    return json.dumps(params.to_dict(), sort_keys=True)
+
+
+def read_sketches(spark: SparkSession, table_path: str, params=None,
+                  expected_fingerprint: str | None = None) -> DataFrame:
+    """Sketch-table scan (S4) with params-sidecar enforcement on load.
+
+    The reference refuses to use sketch files whose k/seed/alphabet don't
+    match the run's parameters (``Sketch.cpp:133-160``); here every
+    committed bucket's manifest carries the ``params_fingerprint`` it was
+    built with, and loading with a different expectation raises instead
+    of silently comparing incompatible sketches. Pass ``params`` (a
+    SketchParams — fingerprinted canonically) or a raw
+    ``expected_fingerprint`` string; with neither, the table must at
+    least be self-consistent (all buckets share one fingerprint).
+    """
+    ents = committed_buckets(table_path)
+    if not ents:
+        raise FileNotFoundError(f"no committed buckets under {table_path}")
+    fps = {e.get("params_fingerprint") for e in ents.values()}
+    if len(fps) > 1:
+        raise ValueError(
+            f"sketch table {table_path} mixes params fingerprints: {sorted(fps)}"
+        )
+    have = fps.pop()
+    want = expected_fingerprint
+    if want is None and params is not None:
+        want = params_fingerprint(params)
+    if want is not None and have != want:
+        raise ValueError(
+            f"sketch table {table_path} was built with params {have!r}, "
+            f"expected {want!r} (mismatched sketch files are refused at "
+            "load, as in the reference)"
+        )
+    return spark.read.parquet(os.path.join(table_path, "bucket=*"))
+
+
 def write_dist_tsv(pairs: DataFrame, path: str, mode: str = "overwrite") -> None:
     """TSV result sink (S6): one line per verified pair in the reference's
     ``mash dist`` / ``triangle -E`` edge format —

@@ -238,3 +238,25 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         if max_pvalue is not None:  # reference -v filter, CommandDistance.cpp:419-422
             df = df.filter(F.col("p_value") <= float(max_pvalue))
     return df.drop("card_a", "card_b")
+
+
+def best_k_hits(pairs: DataFrame, b: int, query_col: str = "id_b",
+                ref_col: str = "id_a") -> DataFrame:
+    """F7: keep the ``b`` best hits per query, ties to the earlier ref —
+    the reference's ``find -b`` semantics (``CommandFind.cpp:37``,
+    compiled-out command; same shape as dist users' post-filter).
+
+    A per-query ``row_number`` window: partitions shuffle on the query id,
+    so the work distributes across executors; no driver-side sort. Skewed
+    queries (one query hitting everything) are bounded by the upstream
+    candidate caps, not by this operator.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.asc("mash_dist"), F.asc(ref_col))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(b))
+        .drop("_rn")
+    )

@@ -100,3 +100,25 @@ def test_resumed_equals_single_shot(spark, docs, tmp_path_factory):
     a = {(r.doc_id, bytes(r.sketch)) for r in full.collect()}
     b = {(r.doc_id, bytes(r.sketch)) for r in resumed.collect()}
     assert a == b
+
+
+def test_read_sketches_enforces_params_on_load(spark, docs, tmp_path_factory):
+    """S4: loading a sketch table under different params raises, like the
+    reference refusing mismatched sketch files (Sketch.cpp:133-160)."""
+    table = str(tmp_path_factory.mktemp("s4") / "sketches")
+    fp = mio.params_fingerprint(PARAMS)
+    mio.run_checkpointed(
+        spark, docs, table, _transform, n_buckets=2,
+        params_fingerprint=fp, metrics_fn=mio.sketch_metrics,
+    )
+    # matching params: loads, same rows as the write
+    loaded = mio.read_sketches(spark, table, params=PARAMS)
+    assert loaded.count() == docs.count()
+    # mismatched k: refused at load
+    with pytest.raises(ValueError, match="built with params"):
+        mio.read_sketches(spark, table, params=SketchParams(k=12, s=128))
+    # self-consistency only (no expectation): loads
+    assert mio.read_sketches(spark, table).count() == docs.count()
+    # empty/missing table: explicit error
+    with pytest.raises(FileNotFoundError):
+        mio.read_sketches(spark, str(tmp_path_factory.mktemp("s4") / "nope"))

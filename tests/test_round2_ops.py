@@ -624,3 +624,22 @@ def test_pipeline_dup_free_corpus(spark):
     assert all(r.doc_id == r.cluster_id for r in clusters)  # all singletons
     res.sketches.unpersist()
     res.exact_groups.unpersist()
+
+
+def test_best_k_hits_tiebreak(spark):
+    """F7: b best hits per query by distance; ties -> earlier ref id
+    (find -b, CommandFind.cpp:37)."""
+    from mashspark.verify import best_k_hits
+
+    rows = [
+        # query 1: dists 0.1(ref 5), 0.1(ref 2), 0.3(ref 9), 0.4(ref 1)
+        (5, 1, 0.1), (2, 1, 0.1), (9, 1, 0.3), (1, 1, 0.4),
+        # query 2: single hit
+        (7, 2, 0.9),
+    ]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, mash_dist double")
+    out = best_k_hits(pairs, b=2)
+    got = {(r["id_b"], r["id_a"]) for r in out.collect()}
+    # query 1 keeps the two 0.1 hits, tie-broken to refs 2 and 5; query 2 keeps its one
+    assert got == {(1, 2), (1, 5), (2, 7)}
+    assert best_k_hits(pairs, b=3).filter("id_b = 1").count() == 3
