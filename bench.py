@@ -58,7 +58,7 @@ DUP_PROB = float(os.environ.get("SPARK_GRAFT_BENCH_DUP_PROB", "0.3"))
 # On real hardware with >=32 dedicated cores set SPARK_GRAFT_SCALE_LOW=8.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "900"))
+SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "720"))
 # the scaling pair gets its own corpus, sized so COMPUTE dominates fixed
 # stage overhead at both legs: 200k bases ~= 350k docs. Measured
 # efficiency by corpus size (same protocol): 17k docs -> 0.20 (pure
@@ -451,7 +451,15 @@ def main():
             "pairs": pairs,
         }
     )
+    scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
+    t_scale0 = time.time()
     for rep in range(max(1, SCALE_REPS)):
+        # stop adding pairs once the budget is spent and at least one pair
+        # exists: a throttled host makes legs arbitrarily slow, and the
+        # round's global bench timeout must not die inside rep 3
+        if pairs and time.time() - t_scale0 > scale_budget:
+            result["scaling"]["budget_exhausted_after_pairs"] = len(pairs)
+            break
         hi = lo = None
         try:
             hi = run_leg(hi_c)
