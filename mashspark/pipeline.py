@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import cc as _cc
@@ -57,12 +57,18 @@ def exact_collapse(sketches: DataFrame) -> DataFrame:
 
     Empty sketches (docs shorter than k) are NOT collapsed together — an
     empty sketch carries no similarity evidence; such docs stay singletons.
+
+    Shape: groupBy(min) + equi-join back, NOT a window. The groupBy does
+    partial (map-side) aggregation — a page mirrored 10^7 times
+    pre-reduces to one row per input partition before the exchange —
+    and the join back is AQE-skew-splittable. A window over
+    partitionBy(fp) would sort and would funnel each mega-group into a
+    single unsplittable task (the exact straggler this stage exists to
+    remove).
     """
     nonempty = sketches.filter(F.length("sketch") > 0).select("doc_id", "fp1", "fp2")
-    w = Window.partitionBy("fp1", "fp2")
-    members = nonempty.withColumn("rep_id", F.min("doc_id").over(w)).select(
-        "doc_id", "rep_id"
-    )
+    reps = nonempty.groupBy("fp1", "fp2").agg(F.min("doc_id").alias("rep_id"))
+    members = nonempty.join(reps, ["fp1", "fp2"]).select("doc_id", "rep_id")
     empty = (
         sketches.filter(F.length("sketch") == 0)
         .select("doc_id", F.col("doc_id").alias("rep_id"))

@@ -1,0 +1,110 @@
+"""Physical-plan audits: the properties that make the operators scale are
+pinned here so a refactor can't silently regress them.
+
+Each assertion names the scale behavior it guards:
+
+* parquet scans receive pushed filters and pruned schemas (a 100 TB scan
+  must not read columns or row groups the query doesn't touch);
+* the sketch stage is map-only (no Exchange before the UDF — sketching
+  10^12 docs must not shuffle the corpus);
+* exact-collapse and the LSH bucket sizing do partial (map-side)
+  aggregation before their exchange;
+* the screen hash join broadcasts the reference index (mixture side must
+  stream map-side, never shuffle on hash);
+* verify's fat-sketch joins hash, not sort-merge (8 KB binary rows must
+  not be sorted).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mashspark.params import LSHParams, PipelineConfig, SketchParams
+from mashspark.sketch import sketch_documents
+from mashspark.webtext import webtext_spark_df
+
+PARAMS = SketchParams(k=21, s=64)
+LSH = LSHParams(bands=16)
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    webtext_spark_df(spark, n_base=30, seed=3).select(
+        "doc_id", "url", "text", "lang").write.parquet(path)
+    return path
+
+
+def test_scan_pushdown_and_pruning(spark, docs_parquet):
+    df = (
+        spark.read.parquet(docs_parquet)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan, plan
+    # pruned read schema: text/url must NOT be read for this projection
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "url" not in read_schema, read_schema
+
+
+def test_sketch_stage_is_map_only(spark, docs_parquet):
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSH)
+    plan = plan_of(sk, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_exact_collapse_partial_aggregation(spark, docs_parquet):
+    from mashspark.pipeline import exact_collapse
+
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSH)
+    groups = exact_collapse(sk)
+    plan = plan_of(groups, "simple")
+    # partial agg before the exchange: HashAggregate appears on both sides
+    # of the fingerprint exchange (map-side combine of the 24 B/doc keys)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_screen_broadcasts_reference_index(spark, docs_parquet):
+    from mashspark.screen import screen
+
+    docs = spark.read.parquet(docs_parquet)
+    refs = docs.filter(F.col("doc_id") < 20)
+    refs_sk = sketch_documents(refs, PARAMS, LSH)
+    out = screen(refs_sk, docs, PARAMS)
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-sized mixture hash table must never sort-merge
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_verify_joins_hash_not_sort_merge(spark, docs_parquet):
+    from mashspark.verify import verify_pairs
+
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSH)
+    ids = sk.select("doc_id")
+    cands = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .limit(100)
+    )
+    out = verify_pairs(cands, sk, PARAMS, jaccard_threshold=0.5,
+                       prefix_filter=None)
+    plan = plan_of(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
