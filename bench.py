@@ -60,12 +60,14 @@ SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "720"))
 # the scaling pair gets its own corpus, sized so COMPUTE dominates fixed
-# stage overhead at both legs: 200k bases ~= 350k docs. Measured
-# efficiency by corpus size (same protocol): 17k docs -> 0.20 (pure
-# overhead), 175k -> 0.46-0.52, 350k -> 0.55; beyond that the curve is
-# flat because the residual loss is per-core host contention (each core
-# runs ~1.8x slower at 4-way on this VM), not amortizable overhead.
-SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "200000"))
+# stage overhead at both legs (~7 s of planning + stage latency measured
+# on a 500-doc run) while keeping each matched pair SHORT: the hypervisor
+# alternates multi-minute good/bad windows (measured single-thread swings
+# of 17x within minutes), so a pair must fit inside one window to
+# measure the job instead of the host. 120k bases ~= 105k docs puts a
+# good-host pair at ~3.5 min with projected efficiency ~0.9
+# (T = C/cores + overhead with C ~ 300 core-s, o ~ 6 s).
+SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "120000"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -151,7 +153,10 @@ def scale_run(cores: int, path: str):
     docs = spark.read.parquet(path)
     n_docs = docs.count()  # warm FS cache / listing outside the timed window
     t0 = time.time()
-    sketches = sketch_documents(docs, cfg.sketch, cfg.lsh).persist()
+    # localCheckpoint, not persist: the columnar cache builder chokes on
+    # 8 KB binary rows (see pipeline.py dedup_pipeline comment; 2.9x)
+    sketches = sketch_documents(docs, cfg.sketch, cfg.lsh).localCheckpoint(
+        eager=False)
     from pyspark.sql import functions as F
 
     exact_groups = exact_collapse(sketches)

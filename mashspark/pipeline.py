@@ -10,10 +10,11 @@ Stage map to the reference: sketching = ``mash sketch``
 (the reference leaves clustering to the user).
 
 Scale notes (the 100 TB story):
-* sketching is map-only — linear in executors, no shuffle;
-* the fat sketch table crosses the wire exactly once: an explicit
-  repartition by doc_id that every downstream doc_id join reuses
-  (bucketed-table pattern; on a cluster, a bucketed Iceberg table);
+* sketching is map-only — linear in executors, no shuffle; its output is
+  materialized once as raw row blocks (localCheckpoint — the columnar
+  cache builder chokes on 8 KB binary rows, see dedup_pipeline) and on a
+  real cluster is written bucketed by doc_id (Iceberg) so the doc_id
+  joins read it shuffle-free;
 * exact-dup collapse shuffles only (doc_id, fp128) — 24 B/doc — and
   removes the mirrored/templated mega-buckets (skew source #1) before LSH;
 * the band join shuffles (band_key, doc_id) — 16 B per band entry, NOT the sketches;
@@ -94,23 +95,31 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         docs = docs.repartition(num_buckets)
 
     sketches = sketch_documents(docs, sp, config.lsh, id_col=id_col, text_col=text_col)
-    # Persist the sketch stage output as-is (map-only layout). An explicit
-    # repartition(doc_id) sounds right for downstream join reuse, but AQE
-    # re-plans joins against the cached relation and re-shuffles the fat
-    # side anyway (verified via event log), so the extra fat pass bought
-    # nothing. On a real cluster the sketches table is written bucketed by
-    # doc_id (Iceberg) and the joins read it shuffle-free.
-    sketches = sketches.persist()
+    # Materialize the sketch stage via localCheckpoint, NOT .persist():
+    # DataFrame persist routes 8 KB binary rows through the columnar
+    # in-memory builder, whose grow-by-doubling HeapByteBuffers generate
+    # so much young-gen garbage that GC starves the python sketch workers
+    # (measured: identical sketch+LSH job 145 s persisted vs 51 s
+    # checkpointed at 70k docs, 8 cores; jstack showed every task inside
+    # ColumnBuilder.ensureFreeSpace with 31 s of GC in 3 min).
+    # localCheckpoint stores the task's UnsafeRow blocks as-is — no
+    # columnar conversion — and truncates lineage so downstream joins
+    # can't re-trigger the UDF. An explicit repartition(doc_id) sounds
+    # right for downstream join reuse, but AQE re-plans joins against the
+    # materialized relation and re-shuffles the fat side anyway (verified
+    # via event log). On a real cluster the sketches table is written
+    # bucketed by doc_id (Iceberg) and the joins read it shuffle-free;
+    # localCheckpoint's lost-executor caveat doesn't apply to that path.
+    sketches = sketches.localCheckpoint(eager=False)
 
     # exact_groups is consumed by reps, member edges and user inspection;
-    # persist the skinny (doc_id, rep_id) map so the fp-window shuffle runs
-    # once. reps (fat) is persisted too: band explode + both verify joins
-    # read it.
+    # persist the skinny (doc_id, rep_id) map so the fp groupBy+join runs
+    # once (16 B rows — columnar cache is fine at this width).
     exact_groups = exact_collapse(sketches).persist()
     rep_ids = exact_groups.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    # reps is NOT persisted: it is a cheap semi-join re-read of the cached
-    # sketch table (a second fat cache costs more to build than the
-    # re-scan; measured via event log)
+    # reps is NOT persisted: it is a cheap semi-join re-read of the
+    # checkpointed sketch blocks (a second fat materialization costs more
+    # than the re-scan; measured via event log)
     reps = sketches.join(rep_ids, "doc_id", "left_semi")
 
     cand, lsh_metrics = _lsh.candidate_pairs(

@@ -82,6 +82,12 @@ class IncrementalDeduper:
         """The foreachBatch callback (also callable directly in tests)."""
         cfg = self.config
         spark = batch_df.sparkSession
+        # .persist(), NOT localCheckpoint: checkpointing inside a
+        # foreachBatch callback breaks the microbatch's file-sink commit
+        # (reproduced in test_incremental_dedup_cross_batch), and the
+        # columnar-cache GC churn that makes the BATCH pipeline prefer
+        # localCheckpoint (pipeline.dedup_pipeline) is a per-trigger
+        # micro-batch non-issue here.
         sk = sketch_documents(batch_df, cfg.sketch, cfg.lsh).persist()
 
         # exact-dup collapse INSIDE the batch, then against history, via
