@@ -21,7 +21,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                StructType)
 
 from .compare import binom_sf, capped_merge_sorted_batch
-from .hashing import decode_sketch_bytes, signed_sketch_bytes
+from .hashing import signed_sketch_bytes
 from .params import SketchParams, params_from_schema
 
 _MERGE_FIELDS = StructType(
@@ -55,8 +55,6 @@ def make_verify_udf(sketch_size: int):
 def make_contain_udf():
     """(sketch_ref, sketch_query) -> struct(common, used) per
     ``containSketches`` (CommandContain.cpp:231-263)."""
-    from .compare import contain_sketches
-
     fields = StructType(
         [StructField("common", IntegerType(), False),
          StructField("used", IntegerType(), False)]
@@ -64,15 +62,26 @@ def make_contain_udf():
 
     @pandas_udf(fields)
     def contain_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        n = len(a)
-        common = np.zeros(n, dtype=np.int32)
+        # Same batch vectorization as verify_udf. Per contain_sketches:
+        # used = min(min(|ref|,|query|), |{q : q <= max(ref)}|) — computed
+        # on signed-encoded views (order-preserving) — and common = the
+        # shared count over ref vs query[:used], which is exactly the
+        # batch merge with an uncapped sketch size.
+        refs = [signed_sketch_bytes(buf) for buf in a]
+        qrys = [signed_sketch_bytes(buf) for buf in b]
+        n = len(refs)
         used = np.zeros(n, dtype=np.int32)
+        trimmed = []
         for i in range(n):
-            c, u = contain_sketches(
-                decode_sketch_bytes(a.iloc[i]), decode_sketch_bytes(b.iloc[i])
-            )
-            common[i] = c
+            r, q = refs[i], qrys[i]
+            if len(r) == 0 or len(q) == 0:
+                trimmed.append(q[:0])
+                continue
+            u = min(min(len(r), len(q)),
+                    int(np.searchsorted(q, r[-1], side="right")))
             used[i] = u
+            trimmed.append(q[:u])
+        common, _denom = capped_merge_sorted_batch(refs, trimmed, 1 << 30)
         return pd.DataFrame({"common": common, "used": used})
 
     return contain_udf
