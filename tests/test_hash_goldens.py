@@ -232,3 +232,26 @@ def test_capped_merge_batch_bit_exact():
 def test_identity_and_bounds():
     assert float(compare.identity(44, 1000, K)) == pytest.approx(0.861792, abs=1e-6)
     assert compare.error_bound(1000) == pytest.approx(0.0316227766)
+
+
+def test_contain_batch_matches_scalar_core():
+    """The contain_udf batch path (searchsorted used + uncapped batch
+    merge) == contain_sketches scalar core on random ragged pairs."""
+    from mashspark.hashing import encode_signed
+
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        la, lb = rng.integers(0, 900, size=2)
+        pool = rng.integers(0, 3000, size=2500, dtype=np.uint64) * np.uint64(2**40)
+        r = np.unique(rng.choice(pool, la, replace=False)) if la else np.empty(0, np.uint64)
+        q = np.unique(rng.choice(pool, lb, replace=False)) if lb else np.empty(0, np.uint64)
+        exp = compare.contain_sketches(r, q)
+        rs, qs = np.sort(encode_signed(r)), np.sort(encode_signed(q))
+        if len(rs) == 0 or len(qs) == 0:
+            got = (0, 0)
+        else:
+            u = min(min(len(rs), len(qs)),
+                    int(np.searchsorted(qs, rs[-1], side="right")))
+            c, _ = compare.capped_merge_sorted_batch([rs], [qs[:u]], 1 << 30)
+            got = (int(c[0]), u)
+        assert got == exp
