@@ -436,6 +436,43 @@ def _q_best_k_hits(spark, sf_dir):
     return best_k_hits(pairs, b=3).select("id_a", "id_b", "n_inter", "n_a", "n_b")
 
 
+def _q_media_payload_stats(spark, sf_dir):
+    """Multimodal binary-column plumbing exercised through the driver
+    contract: documents' text bytes become an opaque ``payload`` binary
+    column, run through the Arrow-batched mapInPandas feature extractor
+    (``multimodal.extract_media_features`` — decode kernel stubbed, the
+    Spark plumbing real), and the per-item byte counts plus exact-dup
+    group sizes are oracle-checked against octet_length / text equality
+    in SQL. content_hash/feature columns are murmur-derived (not
+    SQL-expressible) and are validated by pytest instead."""
+    from mashspark.multimodal import extract_media_features
+
+    media = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("text/fake").alias("mime"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
+    feats = extract_media_features(media)
+    dup_sizes = (
+        feats.groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("min_id"))
+    )
+    return (
+        feats.join(dup_sizes.select(F.col("min_id").alias("media_id"), "n_copies"),
+                   "media_id", "left")
+        .select("media_id", "n_bytes",
+                F.coalesce("n_copies", F.lit(0)).alias("group_lead_copies"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -463,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
         "best_k_hits": _q_best_k_hits,
+        "media_payload_stats": _q_media_payload_stats,
     }
 
 
@@ -516,6 +554,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
                        AS n_shingles
             FROM pos GROUP BY doc_id
+        """,
+        "media_payload_stats": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       octet_length(encode(text)) AS n_bytes, text
+                FROM documents WHERE doc_id < 300
+            ),
+            g AS (
+                SELECT min(media_id) AS lead, count(*) AS n_copies
+                FROM m GROUP BY text
+            )
+            SELECT m.media_id, m.n_bytes,
+                   COALESCE(g.n_copies, 0) AS group_lead_copies
+            FROM m LEFT JOIN g ON g.lead = m.media_id
         """,
         "best_k_hits": """
             WITH toks AS (
