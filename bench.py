@@ -265,6 +265,13 @@ def _write_baseline_md(result: dict) -> None:
         "4. **Oversubscription is toxic here**: local[32] runs the full",
         "   webtext pipeline 8x SLOWER than local[12] (212s vs 26s,",
         "   identical outputs) — hence the timed sessions cap at 12 cores.",
+        "5. **Columnar-cache cliff (fixed in round 2)**: DataFrame",
+        "   .persist() of the 8 KB binary sketch rows drove every task",
+        "   into ColumnBuilder.ensureFreeSpace buffer-doubling (31 s GC in",
+        "   3 min, python workers starved to ~1 core of 8); switching the",
+        "   materialization to localCheckpoint (raw UnsafeRow blocks, no",
+        "   columnar conversion) made the identical sketch+LSH job 2.9x",
+        "   faster (145 s -> 51 s at 70k docs, 8 pinned cores).",
         "",
         "Host-side mitigations already applied: MALLOC_* tuning, 1024-row",
         "Arrow batches, reused murmur scratch buffer, 4 MB worker socket",
