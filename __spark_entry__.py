@@ -473,6 +473,27 @@ def _q_media_payload_stats(spark, sf_dir):
     )
 
 
+def _q_events_hourly(spark, sf_dir):
+    """Hourly tumbling-window rollup over the events table: count, exact
+    integer value-sum (cents — double sums are shuffle-order-dependent and
+    would break the value-hash compare), and JSON-extracted props.k sum.
+    The batch analog of the streaming module's windowed aggregations;
+    exercises timestamp truncation, JSON extraction, and groupBy over a
+    time dimension."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -501,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -554,6 +576,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT substring(text, CAST(i AS INT), 21)) AS BIGINT)
                        AS n_shingles
             FROM pos GROUP BY doc_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum
+            FROM events GROUP BY 1, 2
         """,
         "media_payload_stats": """
             WITH m AS (
