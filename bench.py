@@ -110,6 +110,46 @@ def ensure_webtext(spark, path: str = WEBTEXT_PATH, n_base: int = N_BASE):
     return path
 
 
+def _tree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) of this process and all live
+    descendants (JVM + python workers), via /proc. A host-robust second
+    scaling channel: wall-clock on this VM measures the hypervisor, but
+    total CPU consumed for the same work measures whether the JOB wastes
+    compute when parallelized (work-conservation: cpu_low/cpu_high ~ 1.0
+    means the 4N-leg's longer wall is host throttling, not job overhead)."""
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        # pid (comm) state ppid ... utime=field14 stime=field15 (1-based)
+        rp = raw.rindex(")")
+        pid = int(raw.split(" ", 1)[0])
+        rest = raw[rp + 2:].split()
+        procs[pid] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / hz)
+    total = 0.0
+    members = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _cpu) in procs.items():
+            if pid not in members and ppid in members:
+                members.add(pid)
+                grew = True
+    for pid in members:
+        total += procs.get(pid, (0, 0.0))[1]
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return round(total + ru.ru_utime + ru.ru_stime, 2)
+
+
 def _burn_rate(seconds: float = 1.5) -> float:
     """Single-thread matmul rate (iters/sec): a host-health probe recorded
     with each scaling leg so matched-window pairing is auditable."""
@@ -168,11 +208,12 @@ def scale_run(cores: int, path: str):
     )
     n_cand = cand.count()
     wall = time.time() - t0
+    cpu = _tree_cpu_sec()
     sketches.unpersist()
     print(json.dumps({"cores": cores, "wall_sec": round(wall, 2), "n_docs": n_docs,
                       "n_candidates": n_cand,
                       "docs_per_sec": round(n_docs / wall, 1),
-                      "burn_rate": burn}))
+                      "burn_rate": burn, "cpu_sec": cpu}))
     sys.stdout.flush()
     spark.stop()
 
@@ -476,12 +517,21 @@ def main():
         try:
             hi = run_leg(hi_c)
             lo = run_leg(lo_c)
-            pairs.append({
+            pair = {
                 "t_high_sec": hi["wall_sec"], "t_low_sec": lo["wall_sec"],
                 "efficiency": round((lo["wall_sec"] / hi["wall_sec"]) / 4.0, 3),
                 "burn_high": hi.get("burn_rate"),
                 "burn_low": lo.get("burn_rate"),
-            })
+            }
+            if hi.get("cpu_sec") and lo.get("cpu_sec"):
+                # work-conservation: total CPU consumed for identical work;
+                # ~1.0 means the 4N leg adds no job-side overhead (wall
+                # gaps are then host throttling, not the job)
+                pair["cpu_high_sec"] = hi["cpu_sec"]
+                pair["cpu_low_sec"] = lo["cpu_sec"]
+                pair["cpu_work_conservation"] = round(
+                    lo["cpu_sec"] / hi["cpu_sec"], 3)
+            pairs.append(pair)
         except (subprocess.TimeoutExpired, IndexError,
                 json.JSONDecodeError) as e:
             result["scaling"][f"pair{rep}_error"] = type(e).__name__
