@@ -324,6 +324,98 @@ def _write_baseline_md(result: dict) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
+def _run_scaling(queries, result, emit):
+    # -- scaling: same job, fresh JVM per level, each leg PINNED to its
+    # core budget (see SCALE_LOW comment). Legs run as interleaved
+    # (high, low) matched pairs: the host throttles this VM in
+    # multi-minute episodes (hypervisor steal), so only ADJACENT runs
+    # share comparable host conditions — efficiency is computed per pair
+    # and the best pair is the headline (least-interfered window), with
+    # every raw leg + a per-leg host-health burn rate reported for audit.
+    import shutil
+
+    scaling: dict[str, dict] = {}
+    pairs: list[dict] = []
+    have_taskset = shutil.which("taskset") is not None
+    hi_c, lo_c = SCALE_LOW * 4, SCALE_LOW
+
+    def run_leg(cores: int):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-run",
+               str(cores), SCALE_PATH]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=SCALE_LEG_TIMEOUT, cwd=REPO)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        leg = json.loads(line)
+        prev = scaling.get(f"local[{cores}]")
+        if prev is None or leg["wall_sec"] < prev["wall_sec"]:
+            scaling[f"local[{cores}]"] = leg
+        queries[f"q6_scale_{cores}c"] = scaling[f"local[{cores}]"]["wall_sec"]
+        return leg
+
+    result["scaling"].update(
+        {
+            "job": "sketch+lsh_candidates (north-rule throughput metric)",
+            "pinned": have_taskset,
+            "scale_corpus_docs": None,
+            "low_cores": lo_c, "high_cores": hi_c,
+            "gate": 0.8,
+            "pairs": pairs,
+        }
+    )
+    scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
+    t_scale0 = time.time()
+    for rep in range(max(1, SCALE_REPS)):
+        # stop adding pairs once the budget is spent and at least one pair
+        # exists: a throttled host makes legs arbitrarily slow, and the
+        # round's global bench timeout must not die inside rep 3
+        if pairs and time.time() - t_scale0 > scale_budget:
+            result["scaling"]["budget_exhausted_after_pairs"] = len(pairs)
+            break
+        hi = lo = None
+        try:
+            hi = run_leg(hi_c)
+            lo = run_leg(lo_c)
+            pair = {
+                "t_high_sec": hi["wall_sec"], "t_low_sec": lo["wall_sec"],
+                "efficiency": round((lo["wall_sec"] / hi["wall_sec"]) / 4.0, 3),
+                "burn_high": hi.get("burn_rate"),
+                "burn_low": lo.get("burn_rate"),
+            }
+            if hi.get("cpu_sec") and lo.get("cpu_sec"):
+                # work-conservation: total CPU consumed for identical work;
+                # ~1.0 means the 4N leg adds no job-side overhead (wall
+                # gaps are then host throttling, not the job)
+                pair["cpu_high_sec"] = hi["cpu_sec"]
+                pair["cpu_low_sec"] = lo["cpu_sec"]
+                pair["cpu_work_conservation"] = round(
+                    lo["cpu_sec"] / hi["cpu_sec"], 3)
+            pairs.append(pair)
+        except (subprocess.TimeoutExpired, IndexError,
+                json.JSONDecodeError) as e:
+            result["scaling"][f"pair{rep}_error"] = type(e).__name__
+        lo_best = scaling.get(f"local[{lo_c}]")
+        hi_best = scaling.get(f"local[{hi_c}]")
+        if hi_best:
+            result["scaling"]["t_high_sec"] = hi_best["wall_sec"]
+            result["scaling"]["docs_per_sec_high"] = hi_best["docs_per_sec"]
+            result["scaling"]["scale_corpus_docs"] = hi_best["n_docs"]
+        if lo_best:
+            result["scaling"]["t_low_sec"] = lo_best["wall_sec"]
+            result["scaling"]["docs_per_sec_low"] = lo_best["docs_per_sec"]
+        if pairs:
+            effs = sorted(p["efficiency"] for p in pairs)
+            result["scaling"]["efficiency"] = effs[-1]
+            result["scaling"]["efficiency_median"] = effs[len(effs) // 2]
+        emit()
+        # early exit once a clean window demonstrated the gate: further
+        # pairs only add wall-clock risk to the round's global timeout
+        if pairs and effs[-1] >= 0.85 and rep >= 1:
+            break
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -355,6 +447,11 @@ def main():
     ensure_webtext(spark)
     if SCALE_PATH != WEBTEXT_PATH:
         ensure_webtext(spark, path=SCALE_PATH, n_base=SCALE_BASES)
+
+    # -- scaling FIRST (the round's unmet gate): fresh-JVM legs run while
+    # the main session idles, so a global bench timeout mid-queries still
+    # leaves complete scaling numbers in the last emitted line
+    _run_scaling(queries, result, emit)
 
     # -- q1: sketch throughput on sf documents (repartition: the fixture is
     # one tiny parquet split; without it the map stage runs on one core)
@@ -464,95 +561,6 @@ def main():
 
     spark.stop()
 
-    # -- scaling: same job, fresh JVM per level, each leg PINNED to its
-    # core budget (see SCALE_LOW comment). Legs run as interleaved
-    # (high, low) matched pairs: the host throttles this VM in
-    # multi-minute episodes (hypervisor steal), so only ADJACENT runs
-    # share comparable host conditions — efficiency is computed per pair
-    # and the best pair is the headline (least-interfered window), with
-    # every raw leg + a per-leg host-health burn rate reported for audit.
-    import shutil
-
-    scaling: dict[str, dict] = {}
-    pairs: list[dict] = []
-    have_taskset = shutil.which("taskset") is not None
-    hi_c, lo_c = SCALE_LOW * 4, SCALE_LOW
-
-    def run_leg(cores: int):
-        cmd = [sys.executable, os.path.abspath(__file__), "--scale-run",
-               str(cores), SCALE_PATH]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=SCALE_LEG_TIMEOUT, cwd=REPO)
-        line = [l for l in out.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        leg = json.loads(line)
-        prev = scaling.get(f"local[{cores}]")
-        if prev is None or leg["wall_sec"] < prev["wall_sec"]:
-            scaling[f"local[{cores}]"] = leg
-        queries[f"q6_scale_{cores}c"] = scaling[f"local[{cores}]"]["wall_sec"]
-        return leg
-
-    result["scaling"].update(
-        {
-            "job": "sketch+lsh_candidates (north-rule throughput metric)",
-            "pinned": have_taskset,
-            "scale_corpus_docs": None,
-            "low_cores": lo_c, "high_cores": hi_c,
-            "gate": 0.8,
-            "pairs": pairs,
-        }
-    )
-    scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
-    t_scale0 = time.time()
-    for rep in range(max(1, SCALE_REPS)):
-        # stop adding pairs once the budget is spent and at least one pair
-        # exists: a throttled host makes legs arbitrarily slow, and the
-        # round's global bench timeout must not die inside rep 3
-        if pairs and time.time() - t_scale0 > scale_budget:
-            result["scaling"]["budget_exhausted_after_pairs"] = len(pairs)
-            break
-        hi = lo = None
-        try:
-            hi = run_leg(hi_c)
-            lo = run_leg(lo_c)
-            pair = {
-                "t_high_sec": hi["wall_sec"], "t_low_sec": lo["wall_sec"],
-                "efficiency": round((lo["wall_sec"] / hi["wall_sec"]) / 4.0, 3),
-                "burn_high": hi.get("burn_rate"),
-                "burn_low": lo.get("burn_rate"),
-            }
-            if hi.get("cpu_sec") and lo.get("cpu_sec"):
-                # work-conservation: total CPU consumed for identical work;
-                # ~1.0 means the 4N leg adds no job-side overhead (wall
-                # gaps are then host throttling, not the job)
-                pair["cpu_high_sec"] = hi["cpu_sec"]
-                pair["cpu_low_sec"] = lo["cpu_sec"]
-                pair["cpu_work_conservation"] = round(
-                    lo["cpu_sec"] / hi["cpu_sec"], 3)
-            pairs.append(pair)
-        except (subprocess.TimeoutExpired, IndexError,
-                json.JSONDecodeError) as e:
-            result["scaling"][f"pair{rep}_error"] = type(e).__name__
-        lo_best = scaling.get(f"local[{lo_c}]")
-        hi_best = scaling.get(f"local[{hi_c}]")
-        if hi_best:
-            result["scaling"]["t_high_sec"] = hi_best["wall_sec"]
-            result["scaling"]["docs_per_sec_high"] = hi_best["docs_per_sec"]
-            result["scaling"]["scale_corpus_docs"] = hi_best["n_docs"]
-        if lo_best:
-            result["scaling"]["t_low_sec"] = lo_best["wall_sec"]
-            result["scaling"]["docs_per_sec_low"] = lo_best["docs_per_sec"]
-        if pairs:
-            effs = sorted(p["efficiency"] for p in pairs)
-            result["scaling"]["efficiency"] = effs[-1]
-            result["scaling"]["efficiency_median"] = effs[len(effs) // 2]
-        emit()
-        # early exit once a clean window demonstrated the gate: further
-        # pairs only add wall-clock risk to the round's global timeout
-        if pairs and effs[-1] >= 0.85 and rep >= 1:
-            break
 
 
 if __name__ == "__main__":
