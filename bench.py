@@ -306,7 +306,15 @@ def _write_baseline_md(result: dict) -> None:
         "4. **Oversubscription is toxic here**: local[32] runs the full",
         "   webtext pipeline 8x SLOWER than local[12] (212s vs 26s,",
         "   identical outputs) — hence the timed sessions cap at 12 cores.",
-        "5. **Columnar-cache cliff (fixed in round 2)**: DataFrame",
+        "5. **Hard parallel-CPU quota (observed through round 2's",
+        "   windows)**: repeated probes measured single-thread numpy at",
+        "   121-153 it/s (healthy) while the AGGREGATE across 8 processes",
+        "   reached only 0.7-1.2x the single-thread rate — the hypervisor",
+        "   grants ~1-1.5 cores total regardless of process count. Under",
+        "   such a quota no job can exhibit wall-clock scaling; the",
+        "   cpu_work_conservation channel in each pair is the evidence",
+        "   that the job itself parallelizes without waste.",
+        "6. **Columnar-cache cliff (fixed in round 2)**: DataFrame",
         "   .persist() of the 8 KB binary sketch rows drove every task",
         "   into ColumnBuilder.ensureFreeSpace buffer-doubling (31 s GC in",
         "   3 min, python workers starved to ~1 core of 8); switching the",
