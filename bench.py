@@ -328,7 +328,10 @@ def _write_baseline_md(result: dict) -> None:
         "hashing.py). Outputs (pair and cluster counts) are identical at",
         "every parallelism level.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # smoke-sized runs (tiny scale corpus via env override) must not
+    # clobber the committed full-run evidence
+    name = "BASELINE.md" if SCALE_BASES >= 50_000 else "BASELINE.smoke.md"
+    with open(os.path.join(REPO, "BENCH", name), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
 
