@@ -79,7 +79,7 @@ def test_incremental_dedup_cross_batch(spark, stream_dir, tmp_path):
         .parquet(stream_dir)
     )
     q = incremental_dedup(stream, store, cfg, checkpoint=ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     dec = spark.read.parquet(os.path.join(store, "decisions"))
     rows = {r.doc_id: r for r in dec.collect()}
@@ -97,7 +97,7 @@ def test_incremental_dedup_cross_batch(spark, stream_dir, tmp_path):
 
     # resume: restart the stream with the same checkpoint — no reprocessing
     q2 = incremental_dedup(stream, store, cfg, checkpoint=ckpt)
-    q2.awaitTermination(60)
+    q2.awaitTermination(600)
     assert spark.read.parquet(os.path.join(store, "decisions")).count() == 5
 
 
@@ -117,7 +117,7 @@ def test_stream_exact_dedup(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     got = spark.sql("select doc_id from exact_dedup_sink").collect()
     ids = sorted(r.doc_id for r in got)
     # doc 12 (exact copy of doc 2's text, later batch) is dropped by the
