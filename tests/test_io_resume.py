@@ -150,7 +150,7 @@ def test_spark_submit_pyfiles_end_to_end(docs, tmp_path_factory):
          "--py-files", zip_path,
          os.path.join(repo, "tools", "submit_dedup.py"),
          in_path, out_dir, "--s", "128"],
-        capture_output=True, text=True, timeout=600, cwd=str(tmp), env=env,
+        capture_output=True, text=True, timeout=1800, cwd=str(tmp), env=env,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
