@@ -108,3 +108,32 @@ def test_verify_joins_hash_not_sort_merge(spark, docs_parquet):
                        prefix_filter=None)
     plan = plan_of(out, "simple")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_cartesian_blowup_in_candidate_families(spark, docs_parquet):
+    """SimHash, SRP-embedding, and substring candidate generation must all
+    pair via bucketed equi-joins — never CartesianProduct /
+    BroadcastNestedLoopJoin (quadratic at corpus scale)."""
+    from mashspark.ann import embedding_dup_pairs
+    from mashspark.simhash import simhash_documents, simhash_dup_pairs
+    from mashspark.substring import substring_dup_pairs
+
+    docs = spark.read.parquet(docs_parquet)
+    plans = {
+        "simhash": plan_of(
+            simhash_dup_pairs(simhash_documents(docs, k=4), max_hamming=3),
+            "simple"),
+        "substring": plan_of(
+            substring_dup_pairs(docs, min_len=40, stride=8), "simple"),
+    }
+    emb = docs.select(
+        "doc_id",
+        F.expr("transform(sequence(1, 8), "
+               "i -> cast(pmod(doc_id * i, 97) as float) / 97.0)").alias("vec"),
+    )
+    plans["srp"] = plan_of(
+        embedding_dup_pairs(emb, min_cos=0.9, id_col="doc_id",
+                            vec_col="vec", dim=8), "simple")
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
