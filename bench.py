@@ -1,8 +1,10 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the two-level
-scaling protocol (BASELINE.md): the identical sketch->LSH->verify->CC job
-on the same deterministic synthetic-webtext input at local[N] and
-local[4N], reporting docs/sec at both and efficiency (T_N/T_4N)/4.
+scaling protocol (BASELINE.md): the identical sketch+LSH candidate job
+(the north-rule throughput metric; see scale_run for why verify+CC are
+benchmarked separately) on the same deterministic synthetic-webtext
+input at taskset-pinned local[N] and local[4N], reporting docs/sec at
+both and efficiency (T_N/T_4N)/4 per matched pair.
 
 INCREMENTAL EMISSION: after every query (and every scaling leg) finishes,
 the CUMULATIVE result is re-printed as one JSON line and stdout is
