@@ -79,9 +79,22 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _seeded_docs(spark, sf_dir):
+    """Fixture docs UNIONed with an id-shifted copy of the first 50: the
+    sf fixtures contain no byte-identical texts, so the exact-dup contract
+    queries over the raw table were green on 0 == 0 rows — a green that
+    cannot fail. Self-seeding (identically on the DuckDB side) makes the
+    row count non-zero, so the hash compare actually exercises the op."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
 def _q_exact_dup_groups(spark, sf_dir):
     return (
-        _docs(spark, sf_dir)
+        _seeded_docs(spark, sf_dir)
         .groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -89,7 +102,7 @@ def _q_exact_dup_groups(spark, sf_dir):
 
 
 def _q_exact_dup_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _seeded_docs(spark, sf_dir)
     a = d.withColumnRenamed("doc_id", "id_a")
     b = d.withColumnRenamed("doc_id", "id_b")
     return (
@@ -171,6 +184,15 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 
 def _q_lang_distribution(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def _q_lang_id_pred(spark, sf_dir):
+    """Heuristic stopword-vote language ID (textstats.language_id) —
+    SQL-expressible (greedy-replace occurrence counts + greatest/CASE), so
+    fully oracle-checked."""
+    from mashspark.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
 
 
 def _q_fingerprint_group_sizes(spark, sf_dir):
@@ -338,12 +360,15 @@ def _q_streaming_dedup_decisions(spark, sf_dir):
         q = incremental_dedup(stream, f"{work}/store", cfg,
                               checkpoint=f"{work}/ckpt")
         q.awaitTermination(300)
-        out = (
+        # collect through Rows, NOT toPandas(): pandas turns the nullable
+        # dup_of (NULL for every novel doc) into float NaN, which
+        # createDataFrame then rejects against LongType (round-2 err row)
+        rows = (
             spark.read.parquet(f"{work}/store/decisions")
             .select("doc_id", "dup_of")
-            .toPandas()
+            .collect()
         )
-        return spark.createDataFrame(out, "doc_id long, dup_of long")
+        return spark.createDataFrame(rows, "doc_id long, dup_of long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -504,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_cardinality": _q_shingle_cardinality,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "lang_distribution": _q_lang_distribution,
+        "lang_id_pred": _q_lang_id_pred,
         "fingerprint_group_sizes": _q_fingerprint_group_sizes,
         "knn_topk": _q_knn_topk,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
@@ -536,6 +562,39 @@ _STOP_SQL = " + ".join(
     for w in _STOPWORDS
 )
 
+# must mirror textstats.language_id's vote lists exactly
+_LANG_VOTES = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    return " + ".join(
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}"
+        f" AS BIGINT)"
+        for w in words
+    )
+
+
+_LANG_ID_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               ({_lang_score_sql(_LANG_VOTES["en"])}) AS score_en,
+               ({_lang_score_sql(_LANG_VOTES["de"])}) AS score_de,
+               ({_lang_score_sql(_LANG_VOTES["fr"])}) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_en, score_de, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_fr) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -546,13 +605,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "exact_dup_groups": """
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id < 50
+            )
             SELECT md5(text) AS text_md5, count(*) AS n_docs,
                    min(doc_id) AS min_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM seeded GROUP BY md5(text) HAVING count(*) > 1
         """,
         "exact_dup_pairs": """
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id < 50
+            )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM documents a JOIN documents b
+            FROM seeded a JOIN seeded b
               ON a.text = b.text AND a.doc_id < b.doc_id
         """,
         "token_counts": """
@@ -662,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         """,
+        "lang_id_pred": _LANG_ID_SQL,
         "fingerprint_group_sizes": """
             WITH g AS (
                 SELECT md5(text) AS m, count(*) AS group_size

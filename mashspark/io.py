@@ -145,7 +145,22 @@ def read_sketches(spark: SparkSession, table_path: str, params=None,
             f"expected {want!r} (mismatched sketch files are refused at "
             "load, as in the reference)"
         )
-    return spark.read.parquet(os.path.join(table_path, "bucket=*"))
+    # Scan ONLY the committed buckets' explicit paths — never bucket=*:
+    # a job killed between out.write (which overwrote bucket=i with
+    # new-params rows) and the manifest commit leaves an on-disk bucket
+    # whose manifest entry still shows the old fingerprint; a glob scan
+    # would pass the check above yet return mixed-params rows. Uncommitted
+    # bucket dirs are data-loss-free to ignore (resume recomputes them),
+    # but silently reading them is exactly the mismatched-sketch
+    # comparison this loader exists to refuse.
+    paths = [os.path.join(table_path, f"bucket={b}") for b in sorted(ents)]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise ValueError(
+            f"sketch table {table_path} manifest names buckets with no "
+            f"data directory: {missing} (corrupt table)"
+        )
+    return spark.read.parquet(*paths)
 
 
 def write_dist_tsv(pairs: DataFrame, path: str, mode: str = "overwrite") -> None:

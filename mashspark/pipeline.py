@@ -43,6 +43,29 @@ class DedupResult:
     edges: DataFrame         # duplicate edges over ALL docs (src, dst)
     clusters: DataFrame      # doc_id, cluster_id (min doc_id of cluster)
     lsh_metrics: DataFrame   # bucket/skew metrics (one row)
+    # RDD ids of the localCheckpointed materializations (sketches, pairs).
+    # NOTE a plain sketches.unpersist() is a SILENT NO-OP for checkpointed
+    # DataFrames — the row blocks stay pinned until RDD GC or session end;
+    # long-lived sessions running several pipelines must call release().
+    ckpt_rdd_ids: list = None
+
+    def release(self) -> None:
+        """Free every block this pipeline materialized: the cached
+        exact_groups map AND the localCheckpointed sketch/pair row blocks
+        (unpinned via the JVM persistent-RDD registry, the only handle
+        Spark exposes for checkpointed blocks)."""
+        self.exact_groups.unpersist()
+        jsc = self.sketches.sparkSession.sparkContext._jsc
+        jmap = jsc.getPersistentRDDs()
+        for rid in self.ckpt_rdd_ids or []:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def exact_collapse(sketches: DataFrame) -> DataFrame:
@@ -83,6 +106,12 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     config = config or PipelineConfig()
     sp = config.sketch
     spark = docs.sparkSession
+    # snapshot the persistent-RDD registry: every localCheckpoint created
+    # during this run (sketches, verify tier-1 survivors, pairs, AND
+    # lsh.candidate_pairs' internal band/size checkpoints) is new-in-span
+    # and gets released by DedupResult.release() — a plain unpersist() on
+    # the returned DataFrames would silently skip all of them.
+    _ids0 = _persistent_rdd_ids(spark)
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -164,6 +193,7 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         )
     )
 
+    ckpt_ids = sorted(_persistent_rdd_ids(spark) - _ids0)
     return DedupResult(
         sketches=sketches,
         exact_groups=exact_groups,
@@ -171,4 +201,5 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         edges=edges,
         clusters=clusters,
         lsh_metrics=lsh_metrics,
+        ckpt_rdd_ids=ckpt_ids,
     )

@@ -27,7 +27,7 @@ from pyspark.sql.types import ArrayType, LongType
 from .compare import binom_sf
 from .hashing import (decode_signed, encode_signed, hash_shingles_concat,
                       signed_sketch_bytes)
-from .minhash import bottom_k, kmv_set_size
+from .minhash import kmv_set_size
 from .params import SketchParams
 
 
@@ -64,6 +64,27 @@ def make_all_hashes_udf(k: int, seed: int):
         return pd.Series(out)
 
     return all_hashes_udf
+
+
+def _kmv_set_size_from_hashes(exploded: DataFrame, s: int) -> int:
+    """KMV bottom-s cardinality estimate over a sign-encoded hash column
+    with NO shuffle: per-partition bottom-s distinct (mapInPandas, works
+    under any hashes_udf kernel since it reads the built hash relation)
+    then a driver merge of <= partitions*s values. Matches the reference's
+    whole-mixture ``minHashHeap.estimateSetSize()`` (CommandScreen.cpp:322;
+    screen's minCov is compiled out at 1, so EVERY mixture k-mer feeds the
+    estimator)."""
+
+    def _partial(batches):
+        best = np.empty(0, dtype=np.uint64)
+        for pdf in batches:
+            h = decode_signed(pdf["hash"].to_numpy(np.int64))
+            best = np.unique(np.concatenate([best, h]))[:s]
+        yield pd.DataFrame({"h": encode_signed(best)})
+
+    rows = exploded.mapInPandas(_partial, schema="h long").collect()
+    vals = decode_signed(np.array([r.h for r in rows], dtype=np.int64))
+    return kmv_set_size(np.unique(vals)[:s])
 
 
 def make_screen_pvalue_udf(kmer_space: float, set_size: int):
@@ -133,24 +154,33 @@ def screen(refs_sketches: DataFrame, mixture_docs: DataFrame,
     udf = hashes_udf if hashes_udf is not None else make_all_hashes_udf(
         params.k, params.seed
     )
+    exploded = mixture_docs.select(F.explode(udf(F.col(text_col))).alias("hash"))
+
+    need_pvalue = with_pvalue or max_pvalue is not None
+    set_size = None
+    if need_pvalue:
+        # KMV set size of the WHOLE mixture (CommandScreen.cpp:322) with NO
+        # shuffle: per-partition bottom-s + driver merge of <= parts*s
+        # values (the same scheme as mixture_set_size, but over the
+        # already-built hash relation so custom hashes_udf kernels are
+        # honored). The former formulation kept the corpus-scale distinct-
+        # hash table alive (persist + full groupBy) just to read s values.
+        set_size = _kmv_set_size_from_hashes(exploded, params.s)
+
+    # SCALE: semi-join the exploded hashes against the broadcast index
+    # key set BEFORE aggregating. The reference only ever counts hashes
+    # that hit the inverted index (CommandScreen.cpp:571-575); aggregating
+    # first would shuffle O(corpus shingles) rows where O(index hits)
+    # suffice, and per-hit multiplicities are exact either way (every
+    # occurrence of a surviving hash passes the semi-join).
+    hash_keys = index.select("hash").distinct()
     mix = (
-        mixture_docs.select(F.explode(udf(F.col(text_col))).alias("hash"))
+        exploded.join(F.broadcast(hash_keys), "hash", "left_semi")
         .groupBy("hash")
         .agg(F.count("*").alias("mult"))
     )
     if min_cov > 1:
         mix = mix.filter(F.col("mult") >= min_cov)
-
-    need_pvalue = with_pvalue or max_pvalue is not None
-    set_size = None
-    if need_pvalue:
-        # KMV set size from the (already distinct) hash table: bottom-s via
-        # orderBy+limit = TakeOrderedAndProject (per-partition top-s, driver
-        # merge). persist so the screen join reuses the aggregation.
-        mix = mix.persist()
-        rows = mix.select("hash").orderBy("hash").limit(params.s).collect()
-        vals = decode_signed(np.array([r["hash"] for r in rows], dtype=np.int64))
-        set_size = kmv_set_size(vals)
 
     hits = mix.join(F.broadcast(index), "hash")
 

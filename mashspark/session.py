@@ -78,6 +78,13 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         # this is simply the honest resource declaration for this
         # python-UDF-dominated workload. Guarded: a 1-core session can't
         # schedule a 2-cpu task.
+        # KNOWN TRADE-OFF: task.cpus is session-global, so pure-JVM stages
+        # (shuffles, parquet scans, joins) also run at half the task slots.
+        # In this engine the hot paths are all Arrow-UDF stages and the
+        # JVM-only stages are shuffle-light, so the global setting wins
+        # overall (measured end-to-end, not just on UDF stages); on a real
+        # cluster, scope it per-stage with ResourceProfiles (RDD-level) or
+        # run UDF-heavy jobs in their own session/app with this conf.
         .config("spark.task.cpus", "2" if cores >= 2 else "1")
     )
     if local_dir:
@@ -86,10 +93,15 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
     # hyperthreads: this host only scales ~linearly to ~8 busy vCPUs, and
     # a 23-thread G1 GC burst (default sizing from 32 CPUs) stalls every
     # mutator; capping measured 30s->24s on the 4-core sketch stage
+    # CICompilerCount=2: background JIT otherwise scales its thread pool
+    # with ActiveProcessorCount and burns ~10 CPU-s in parallel bursts —
+    # noise in CPU-accounting comparisons between session sizes, and
+    # irrelevant to steady-state throughput.
     b = b.config(
         "spark.driver.extraJavaOptions",
         f"-XX:ActiveProcessorCount={cores + 2} "
-        f"-XX:ParallelGCThreads={max(2, min(8, cores // 2))} -XX:ConcGCThreads=1",
+        f"-XX:ParallelGCThreads={max(2, min(8, cores // 2))} -XX:ConcGCThreads=1 "
+        f"-XX:CICompilerCount=2",
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

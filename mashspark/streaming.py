@@ -20,13 +20,18 @@ Spark-first composition:
 State sizing at web scale: history is never re-sketched (band keys are
 stored, 8 B x <=32/doc), the batch side of the history join is small so
 AQE broadcasts it and the history side is scanned map-side with NO
-shuffle, and nothing driver-side grows with history size. The remaining
-scale cost is that map-side history scan per micro-batch; at 10^12-doc
-history the store should be written PARTITIONED BY band-key bucket so
-the batch's band keys prune partitions (dynamic partition pruning) and
-each micro-batch touches only the buckets it can match — same layout,
-one extra write key, noted here because this sandbox's fixtures never
-reach that regime.
+shuffle, and nothing driver-side grows with history size. The history
+store is laid out for PARTITION PRUNING:
+
+* ``store/bands`` — the exploded (band_key, doc_id) relation, written
+  ``partitionBy(bucket = pmod(band_key, n_band_buckets))``: each
+  micro-batch collects its own distinct band-key buckets (a tiny int
+  set) and scans ONLY those partitions of the history — a narrow batch
+  touches a constant number of buckets regardless of history size;
+* ``store/sketches`` — the fat sketch rows, written
+  ``partitionBy(doc_bucket = pmod(doc_id, n_doc_buckets))``: fetched
+  only for band-matched history ids, again bucket-pruned, so unmatched
+  history sketches are never read.
 """
 
 from __future__ import annotations
@@ -66,15 +71,19 @@ class IncrementalDeduper:
     matched historical/batch doc_id or NULL for novel docs.
     """
 
-    def __init__(self, store_path: str, config: PipelineConfig | None = None):
+    def __init__(self, store_path: str, config: PipelineConfig | None = None,
+                 n_band_buckets: int = 64, n_doc_buckets: int = 64):
         self.config = config or PipelineConfig()
         self.store_path = store_path
         self.sketch_path = os.path.join(store_path, "sketches")
+        self.bands_path = os.path.join(store_path, "bands")
         self.decisions_path = os.path.join(store_path, "decisions")
+        self.n_band_buckets = n_band_buckets
+        self.n_doc_buckets = n_doc_buckets
 
-    def _history(self, spark: SparkSession):
+    def _history_bands(self, spark: SparkSession):
         try:
-            return spark.read.parquet(self.sketch_path)
+            return spark.read.parquet(self.bands_path)
         except Exception:
             return None
 
@@ -90,10 +99,6 @@ class IncrementalDeduper:
         # micro-batch non-issue here.
         sk = sketch_documents(batch_df, cfg.sketch, cfg.lsh).persist()
 
-        # exact-dup collapse INSIDE the batch, then against history, via
-        # the 128-bit sketch fingerprint
-        hist = self._history(spark)
-
         # candidate pairs: in-batch LSH self-join ...
         cand_self, _m = _lsh.candidate_pairs(
             sk, band_doc_cap=cfg.lsh.band_doc_cap,
@@ -101,14 +106,24 @@ class IncrementalDeduper:
         )
         pair_sources = [cand_self]
         union_sk = sk
-        if hist is not None:
-            # ... plus batch-vs-history band join (history is never
-            # re-sketched; its band keys are stored). id_a = historical,
-            # id_b = new (history ids are disjoint from batch ids by
-            # construction of doc_id; verified pairs keep orientation
-            # via the min/max normalization downstream).
-            hb = hist.select("doc_id", F.explode("band_key").alias("band_key"))
-            bb = sk.select("doc_id", F.explode("band_key").alias("band_key"))
+        bb = sk.select("doc_id", F.explode("band_key").alias("band_key"))
+        hist_bands = self._history_bands(spark)
+        if hist_bands is not None:
+            # ... plus batch-vs-history band join, PARTITION-PRUNED: the
+            # batch's distinct band-key buckets are a tiny int set (<=
+            # batch_docs x bands), and the history band store is
+            # partitioned by that bucket, so the scan below touches only
+            # the buckets this batch can possibly match — constant per
+            # narrow batch, independent of history size. (History is
+            # never re-sketched; its band keys are stored exploded.)
+            batch_buckets = [
+                r.b for r in bb.select(
+                    F.pmod(F.col("band_key"), F.lit(self.n_band_buckets))
+                    .alias("b")).distinct().collect()
+            ]
+            hb = hist_bands.filter(
+                F.col("bucket").isin(batch_buckets)
+            ).select("doc_id", "band_key")
             cross = (
                 hb.withColumnRenamed("doc_id", "id_a")
                 .join(bb.withColumnRenamed("doc_id", "id_b"), "band_key")
@@ -119,8 +134,27 @@ class IncrementalDeduper:
                 .filter(F.col("id_a") != F.col("id_b"))
                 .distinct()
             )
-            pair_sources.append(cross)
-            union_sk = hist.select(sk.columns).unionByName(sk)
+            # fetch ONLY the band-matched history sketches, again
+            # bucket-pruned on the doc_id partitioning of the store
+            matched = (
+                cross.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cross.select(F.col("id_b").alias("doc_id")))
+                .join(sk.select("doc_id"), "doc_id", "left_anti")
+                .distinct()
+            )
+            doc_buckets = [
+                r.b for r in matched.select(
+                    F.pmod(F.col("doc_id"), F.lit(self.n_doc_buckets))
+                    .alias("b")).distinct().collect()
+            ]
+            if doc_buckets:
+                hist_sk = (
+                    spark.read.parquet(self.sketch_path)
+                    .filter(F.col("doc_bucket").isin(doc_buckets))
+                    .join(matched, "doc_id", "left_semi")
+                )
+                union_sk = hist_sk.select(sk.columns).unionByName(sk)
+                pair_sources.append(cross)
 
         cands = pair_sources[0]
         for p in pair_sources[1:]:
@@ -131,6 +165,9 @@ class IncrementalDeduper:
             cands, union_sk, cfg.sketch,
             jaccard_threshold=cfg.jaccard_threshold,
             prefix_filter=cfg.lsh.prefix,
+            # localCheckpoint inside foreachBatch breaks the micro-batch
+            # file-sink commit; per-batch tier-1 re-execution is cheap
+            materialize_tier1=False,
         )
 
         # decision: a new doc is a dup of its smallest-id verified partner
@@ -151,7 +188,14 @@ class IncrementalDeduper:
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
         decisions.write.mode("append").parquet(self.decisions_path)
-        sk.write.mode("append").parquet(self.sketch_path)
+        sk.withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_id"), F.lit(self.n_doc_buckets)).cast("int"),
+        ).write.partitionBy("doc_bucket").mode("append").parquet(self.sketch_path)
+        bb.withColumn(
+            "bucket",
+            F.pmod(F.col("band_key"), F.lit(self.n_band_buckets)).cast("int"),
+        ).write.partitionBy("bucket").mode("append").parquet(self.bands_path)
         sk.unpersist()
 
 

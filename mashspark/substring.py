@@ -154,28 +154,47 @@ def substring_dup_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
     cand = left.join(right, "hash").filter(F.col("id_a") < F.col("id_b"))
 
     if verify:
-        # exact substring equality for ONE window per (pair, diagonal):
-        # joins only candidate docs' texts (semi-join pruning)
-        texts = base
-        need_a = cand.select(F.col("id_a").alias("doc_id")).distinct()
-        need_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
-        # anchor positions are BYTE offsets (the murmur kernel hashes utf-8
-        # bytes), so compare byte slices: substring over the encoded binary
-        # column slices bytes, staying correct for multi-byte characters
-        ta = texts.join(need_a, "doc_id", "left_semi").select(
-            F.col("doc_id").alias("id_a"), F.encode("text", "utf-8").alias("_ta")
+        # exact substring equality for ONE window per (pair, diagonal),
+        # via SKINNY window relations: extract each distinct (doc, pos)
+        # candidate window ONCE in a per-doc projection (the full text
+        # column is sliced in the same stage it is joined, so it never
+        # attaches to the pair relation), then equi-join the ~min_len-byte
+        # slices onto the pairs. The former formulation joined each doc's
+        # ENTIRE text onto every candidate pair — a doc in P pairs
+        # replicated its full bytes P times through the join; here a doc
+        # crosses the window-extraction shuffle once per DISTINCT anchor
+        # position and the pair relation only ever carries 25-byte slices.
+        need = (
+            cand.select(F.col("id_a").alias("doc_id"), F.col("pos_a").alias("pos"))
+            .unionByName(
+                cand.select(F.col("id_b").alias("doc_id"), F.col("pos_b").alias("pos"))
+            )
+            .distinct()
         )
-        tb = texts.join(need_b, "doc_id", "left_semi").select(
-            F.col("doc_id").alias("id_b"), F.encode("text", "utf-8").alias("_tb")
+        # anchor positions are BYTE offsets (the murmur kernel hashes utf-8
+        # bytes), so slice the encoded binary column: correct for
+        # multi-byte characters
+        wins = need.join(base, "doc_id").select(
+            "doc_id", "pos",
+            F.substring(
+                F.encode("text", "utf-8"), F.col("pos").cast("int") + 1, min_len
+            ).alias("win"),
         )
         cand = (
-            cand.join(ta, "id_a")
-            .join(tb, "id_b")
-            .filter(
-                F.substring(F.col("_ta"), F.col("pos_a").cast("int") + 1, min_len)
-                == F.substring(F.col("_tb"), F.col("pos_b").cast("int") + 1, min_len)
+            cand.join(
+                wins.select(F.col("doc_id").alias("id_a"),
+                            F.col("pos").alias("pos_a"),
+                            F.col("win").alias("_wa")),
+                ["id_a", "pos_a"],
             )
-            .drop("_ta", "_tb")
+            .join(
+                wins.select(F.col("doc_id").alias("id_b"),
+                            F.col("pos").alias("pos_b"),
+                            F.col("win").alias("_wb")),
+                ["id_b", "pos_b"],
+            )
+            .filter(F.col("_wa") == F.col("_wb"))
+            .drop("_wa", "_wb")
         )
 
     # merge anchor matches into maximal diagonal runs: same (id_a, id_b,

@@ -152,7 +152,8 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
                  max_pvalue: float | None = None,
                  with_pvalue: bool = False,
                  prefix_filter: int | None = 128,
-                 prefix_margin: float = 0.15) -> DataFrame:
+                 prefix_margin: float = 0.15,
+                 materialize_tier1: bool = True) -> DataFrame:
     """Attach Mash-exact (common, denom, jaccard, mash_dist[, p_value]) to a
     candidate-pair DataFrame (id_a, id_b), id_a < id_b.
 
@@ -201,6 +202,21 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         cands = tier1.filter(
             F.col("_jpre") >= float(jaccard_threshold) - float(prefix_margin)
         ).select("id_a", "id_b")
+        if materialize_tier1:
+            # materialize the survivor list ONCE (16 B rows): it is
+            # consumed by the tier-2 attach chain AND both branches of the
+            # surv_ids union below — without this, the whole tier-1
+            # subtree (attach joins + prefix-verify UDF over EVERY
+            # candidate) re-executes once per consumer (measured 3-5x in
+            # the optimized plan; exchange reuse does not cover the
+            # differently-partitioned branches). Callers inside
+            # foreachBatch must pass materialize_tier1=False —
+            # localCheckpoint there breaks the micro-batch file-sink
+            # commit (see streaming.process_batch) — and accept the cheap
+            # per-batch re-execution instead. Block release is the
+            # caller's pipeline-level concern (pipeline.DedupResult
+            # .release() sweeps every checkpoint created during the run).
+            cands = cands.localCheckpoint(eager=False)
         # restrict the fat table to survivor ids BEFORE the attach joins so
         # they only move survivors' sketches instead of the whole table.
         # No forced broadcast hint: the survivor-id set is O(true pairs)

@@ -156,8 +156,12 @@ def test_spark_submit_pyfiles_end_to_end(docs, tmp_path_factory):
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     stats = _json.loads(line)
     assert stats["n_docs"] == docs.count()
-    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
-    with open(os.path.join(out_dir, "metrics.json")) as fh:
-        m = _json.load(fh)
+    # metrics.json is written THROUGH Spark (honors HDFS/S3 output dirs on
+    # real clusters), so locally it is a directory with one part file
+    mdir = os.path.join(out_dir, "metrics.json")
+    assert os.path.isdir(mdir)
+    part = [f for f in os.listdir(mdir) if f.startswith("part-")][0]
+    with open(os.path.join(mdir, part)) as fh:
+        m = _json.loads(fh.read())
     assert m["sketches"]["n_docs"] == docs.count()
     assert any(f.startswith("part-") for f in os.listdir(os.path.join(out_dir, "clusters")))

@@ -92,6 +92,44 @@ def test_screen_broadcasts_reference_index(spark, docs_parquet):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_screen_aggregates_only_index_hits(spark, docs_parquet):
+    """The mixture groupBy(hash) must sit ABOVE an index semi-join: the
+    reference only counts hashes that hit the inverted index
+    (CommandScreen.cpp:571-575), and aggregating first would shuffle
+    O(corpus shingles) rows where O(index hits) suffice."""
+    from mashspark.screen import screen
+
+    docs = spark.read.parquet(docs_parquet)
+    refs = docs.filter(F.col("doc_id") < 20)
+    refs_sk = sketch_documents(refs, PARAMS, LSH)
+    out = screen(refs_sk, docs, PARAMS)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    agg_hash = [i for i, l in enumerate(lines)
+                if "Aggregate [hash" in l and "mult" in l]
+    semi = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert agg_hash and semi, opt
+    # children print below parents: the semi-join must be a descendant of
+    # the mult aggregate (index filter BEFORE the corpus-scale groupBy)
+    assert semi[0] > agg_hash[0], opt
+
+
+def test_substring_verify_joins_windows_not_texts(spark, docs_parquet):
+    """The substring verify must attach ~min_len-byte window slices to the
+    candidate-pair relation, never whole texts: a doc in P pairs must not
+    replicate its full bytes P times through the join. Invariant: in the
+    optimized plan, text encoding only ever appears already wrapped in the
+    window substring() (i.e. sliced in the same projection)."""
+    from mashspark.substring import substring_dup_pairs
+
+    docs = spark.read.parquet(docs_parquet)
+    out = substring_dup_pairs(docs, min_len=40, stride=8)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Encode.encode" in line:
+            assert "substring(" in line, line
+
+
 def test_verify_joins_hash_not_sort_merge(spark, docs_parquet):
     from mashspark.verify import verify_pairs
 

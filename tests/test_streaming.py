@@ -101,6 +101,57 @@ def test_incremental_dedup_cross_batch(spark, stream_dir, tmp_path):
     assert spark.read.parquet(os.path.join(store, "decisions")).count() == 5
 
 
+def test_streaming_store_band_bucket_pruning(spark, stream_dir, tmp_path):
+    """At 10^12-doc history the per-micro-batch history scan must not be
+    a full-store scan: the band store is written PARTITIONED BY
+    pmod(band_key, n_band_buckets), and the engine filters it with the
+    batch's bucket set, so file pruning happens at planning time."""
+    import glob
+
+    from mashspark.streaming import incremental_dedup
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(sketch=SketchParams(k=21, s=256), jaccard_threshold=0.7)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = incremental_dedup(stream, store, cfg, checkpoint=ckpt)
+    q.awaitTermination(600)
+
+    # layout: multiple band-bucket partitions exist on disk
+    bucket_dirs = glob.glob(os.path.join(store, "bands", "bucket=*"))
+    assert len(bucket_dirs) > 1, bucket_dirs
+
+    # a bucket filter (what process_batch issues for the batch's bucket
+    # set) is planned as a partition filter — pruned at file listing, not
+    # a post-scan row filter
+    bands = spark.read.parquet(os.path.join(store, "bands"))
+    one = bands.select("bucket").first().bucket
+    pruned = bands.filter(F.col("bucket") == one)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and f"bucket" in scan[0], plan
+    # and the pruned scan reads fewer files than the store holds
+    total_files = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in bucket_dirs
+    )
+    one_files = len(
+        glob.glob(os.path.join(store, "bands", f"bucket={one}", "*.parquet"))
+    )
+    assert 0 < one_files < total_files
+
+    # sketch store: partitioned by doc bucket with the same discipline
+    assert glob.glob(os.path.join(store, "sketches", "doc_bucket=*"))
+
+
 def test_stream_exact_dedup(spark, stream_dir):
     from mashspark.streaming import stream_exact_dedup
 

@@ -60,8 +60,12 @@ def main() -> None:
         "params": cfg.sketch.to_dict(),
         "jaccard_threshold": cfg.jaccard_threshold,
     }
-    with open(os.path.join(args.output_dir, "metrics.json"), "w") as fh:
-        json.dump(metrics, fh, indent=1)
+    # write the manifest THROUGH Spark (single-row json), not a driver-
+    # local open(): output_dir may be HDFS/S3 on a real cluster, where a
+    # plain open() fails or writes to an unrelated local path
+    spark.createDataFrame([(json.dumps(metrics),)], "metrics string") \
+        .coalesce(1).write.mode("overwrite").text(
+            os.path.join(args.output_dir, "metrics.json"))
     print(json.dumps({"n_docs": res.clusters.count(),
                       "n_pairs": res.pairs.count()}))
     spark.stop()
