@@ -61,6 +61,35 @@ def stream_exact_dedup(stream_df: DataFrame, ts_col: str = "warc_ts",
     )
 
 
+def stream_windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           keys: tuple = ("event_type",),
+                           value_col: str | None = "value") -> DataFrame:
+    """Watermarked tumbling-window rollup of an event stream — the
+    streaming analog of the batch ``events_hourly`` contract query
+    (count + exact integer cent-sum per window x key).
+
+    Spark-native late-data semantics: the watermark bounds state (a
+    window closes once the event-time watermark passes its end; later
+    events are dropped), and the windowed groupBy shuffles only
+    (window, keys) — partial aggregation map-side, so a hot event type
+    pre-reduces inside every input partition before the exchange, same
+    skew posture as the batch pipeline's groupBys."""
+    agg = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        agg.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("value_cents")
+        )
+    out_cols = ["n_events"] + (["value_cents"] if value_col is not None else [])
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(*agg)
+        .select(F.col("win.start").alias("window_start"), *keys, *out_cols)
+    )
+
+
 class IncrementalDeduper:
     """foreachBatch engine: near-dup decisions for each micro-batch against
     a persisted sketch store.

@@ -152,6 +152,47 @@ def test_streaming_store_band_bucket_pruning(spark, stream_dir, tmp_path):
     assert glob.glob(os.path.join(store, "sketches", "doc_bucket=*"))
 
 
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window rollup over a replayed event stream
+    equals the batch groupBy on the same data (complete output mode so
+    every window is emitted; late-data drop semantics are Spark's own)."""
+    from mashspark.streaming import stream_windowed_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # fixture ts is TIMESTAMP_NTZ; event-time watermarks require TIMESTAMP
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    indir = str(tmp_path / "evstream")
+    # two chunks -> two micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{indir}/c0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{indir}/c1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/c*")
+    )
+    out = stream_windowed_counts(stream, ts_col="ts", window="1 hour",
+                                 watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stream_exact_dedup(spark, stream_dir):
     from mashspark.streaming import stream_exact_dedup
 
