@@ -12,8 +12,10 @@ flushed — the final line of stdout is always the most complete result, so
 a timeout anywhere loses only the unfinished tail, never the whole run
 (round-1 failure mode: rc=124 with zero parsed numbers).
 
-Internal mode (spawned per parallelism level so each level gets a fresh
-JVM): ``python bench.py --scale-run <cores> <webtext_parquet>``.
+Internal modes: ``python bench.py --scale-daemon <cores> <parquet>
+<cmd_dir>`` (long-lived pinned leg executor used by the scaling
+protocol; see scale_daemon) and ``python bench.py --scale-run <cores>
+<parquet>`` (ad hoc single-shot leg).
 """
 
 from __future__ import annotations
@@ -174,7 +176,7 @@ def _burn_rate(seconds: float = 1.5) -> float:
 # (the parallel grant is what a scaling pair actually needs).
 HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_MIN", "70"))
 AGG_RATIO_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_AGG_RATIO", "3.0"))
-HEALTH_WAIT = int(os.environ.get("SPARK_GRAFT_HEALTH_WAIT", "900"))
+HEALTH_WAIT = int(os.environ.get("SPARK_GRAFT_HEALTH_WAIT", "600"))
 
 
 def _agg_burn_rate(nproc: int = 4, seconds: float = 1.2) -> float:
@@ -210,26 +212,37 @@ def _wait_healthy(deadline: float) -> dict:
 
 
 def _jvm_cpu_from_proc() -> float:
-    """CPU seconds (utime+stime, all threads) of descendant java
+    """CPU seconds (utime+stime, all threads) of DESCENDANT java
     processes, via /proc (py4j can't reach the com.sun getProcessCpuTime
-    overload). Python UDF workers are separate processes, so tree_cpu -
-    jvm_cpu attributes the python side."""
+    overload). Descendants-only matters: the daemonized scaling protocol
+    keeps two leg JVMs alive on the host at once. Python UDF workers are
+    separate processes, so tree_cpu - jvm_cpu attributes the python
+    side."""
     import glob
 
     hz = os.sysconf("SC_CLK_TCK")
-    total = 0.0
+    me = os.getpid()
+    procs = {}
     for stat in glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(stat) as fh:
                 raw = fh.read()
         except OSError:
             continue
-        comm = raw[raw.index("(") + 1:raw.rindex(")")]
-        if comm != "java":
-            continue
-        rest = raw[raw.rindex(")") + 2:].split()
-        total += (int(rest[11]) + int(rest[12])) / hz
-    return round(total, 2)
+        lp, rp = raw.index("("), raw.rindex(")")
+        pid = int(raw[:lp - 1])
+        comm = raw[lp + 1:rp]
+        rest = raw[rp + 2:].split()
+        procs[pid] = (int(rest[1]), comm, (int(rest[11]) + int(rest[12])) / hz)
+    members = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _c, _t) in procs.items():
+            if pid not in members and ppid in members:
+                members.add(pid)
+                grew = True
+    return round(sum(procs[p][2] for p in members if procs[p][1] == "java"), 2)
 
 
 def _jvm_counters(spark) -> dict:
@@ -247,54 +260,45 @@ def _jvm_counters(spark) -> dict:
     }
 
 
-def scale_run(cores: int, path: str):
-    """One measured sketch+LSH run at local[cores]; prints one JSON line.
-    The parent pins this whole process tree to exactly ``cores`` CPUs via
-    taskset, so the JVM, shuffle writers and python workers all share the
-    leg's stated core budget (as on a real ``cores``-core executor).
-
-    The timed job is the north-rule metric ("docs/sec sketch+LSH
-    throughput"): vectorized sketch UDF -> exact-dup collapse -> banded
-    LSH candidate generation, materialized to a candidate count. The full
-    pipeline (verify + CC) is benchmarked separately (q2/q3); its CC
-    fixpoint stages are latency-bound (a fixed number of tiny sequential
-    shuffles), which at this fixture size would measure Spark's stage
-    overhead rather than scaling of the throughput-bound stages.
-
-    CPU accounting: snapshotted at t0 of the TIMED window (after session
-    start + a warm-up job), so JVM startup, imports and the burn probe do
-    not bias cpu_sec (they used to be included, pulling short legs'
-    conservation toward 1.0 — ADVICE r2). The JSON line carries a
-    jvm/python/gc/jit breakdown of the timed window so any conservation
-    deficit at the high leg is attributable."""
+def _open_scale_session(cores: int):
+    """Pinned leg session (caller wraps the process in taskset).
+    IDENTICAL shuffle partitioning at both legs (16 = a multiple of the
+    concurrent-task count at 2, 4 and 8 cores under task.cpus=2): with
+    cores*2, the legs ran different task counts per shuffle, so per-task
+    fixed costs (Arrow stream setup, UDF deserialization, worker
+    handshake) differed systematically between the legs being compared."""
     from mashspark.session import get_spark
 
-    burn = _burn_rate()
-
     os.environ.setdefault("MASHSPARK_DRIVER_MEM", "48g")
-    # IDENTICAL shuffle partitioning at both legs (16 = a multiple of the
-    # concurrent-task count at 2, 4 and 8 cores under task.cpus=2): with
-    # cores*2, the legs ran different task counts per shuffle, so per-task
-    # fixed costs (Arrow stream setup, UDF deserialization, worker
-    # handshake) differed systematically between the legs being compared.
     spark = get_spark(cores=cores, shuffle_partitions=16,
                       app_name=f"bench-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
-    from mashspark import lsh as _lsh
-    from mashspark.pipeline import exact_collapse
-    from mashspark.sketch import sketch_documents
+    return spark
+
+
+def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
+    """The timed north-rule job ("docs/sec sketch+LSH throughput"):
+    vectorized sketch UDF -> exact-dup collapse -> banded LSH candidate
+    generation, materialized to a candidate count. The full pipeline
+    (verify + CC) is benchmarked separately (q2/q3); its CC fixpoint
+    stages are latency-bound (a fixed number of tiny sequential
+    shuffles), which at this fixture size would measure Spark's stage
+    overhead rather than scaling of the throughput-bound stages.
+
+    CPU accounting: snapshotted at t0 of the TIMED window, so session
+    startup / imports / probes never bias cpu_sec (ADVICE r2); the
+    result carries a jvm/python/gc/jit breakdown so any conservation
+    deficit at the high leg is attributable. All checkpoint blocks the
+    run creates are swept afterwards so repeated daemon runs don't
+    accumulate memory."""
     from pyspark.sql import functions as F
 
-    cfg = _config()
-    docs = spark.read.parquet(path)
-    n_docs = docs.count()  # warm FS cache / listing outside the timed window
-    # warm-up: run the sketch UDF on a slice so python workers exist, JIT
-    # has compiled the hot loops and Arrow codepaths are resident BEFORE
-    # the timed window (a real long-lived executor is warm; a 30 s leg
-    # that pays one-time startup inside the window measures startup).
-    warm = sketch_documents(docs.limit(256), cfg.sketch, cfg.lsh)
-    warm.select(F.sum(F.length("sketch"))).collect()
+    from mashspark import lsh as _lsh
+    from mashspark.pipeline import _persistent_rdd_ids, exact_collapse
+    from mashspark.sketch import sketch_documents
 
+    burn = _burn_rate(1.0)
+    ids0 = _persistent_rdd_ids(spark)
     cpu0 = _tree_cpu_sec()
     jvm0 = _jvm_counters(spark)
     t0 = time.time()
@@ -314,16 +318,70 @@ def scale_run(cores: int, path: str):
     cpu = round(_tree_cpu_sec() - cpu0, 2)
     jvm1 = _jvm_counters(spark)
     jvm_cpu = round(jvm1["jvm_cpu_sec"] - jvm0["jvm_cpu_sec"], 2)
-    sketches.unpersist()
-    print(json.dumps({"cores": cores, "wall_sec": round(wall, 2), "n_docs": n_docs,
-                      "n_candidates": n_cand,
-                      "docs_per_sec": round(n_docs / wall, 1),
-                      "burn_rate": burn, "cpu_sec": cpu,
-                      "cpu_jvm_sec": jvm_cpu,
-                      "cpu_python_sec": round(max(0.0, cpu - jvm_cpu), 2),
-                      "gc_sec": round(jvm1["gc_sec"] - jvm0["gc_sec"], 2),
-                      "jit_sec": round(jvm1["jit_sec"] - jvm0["jit_sec"], 2)}))
+    # sweep this run's checkpoint blocks (outside the timed window)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in _persistent_rdd_ids(spark) - ids0:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist()
+    return {"cores": cores, "wall_sec": round(wall, 2), "n_docs": n_docs,
+            "n_candidates": n_cand,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "burn_rate": burn, "cpu_sec": cpu,
+            "cpu_jvm_sec": jvm_cpu,
+            "cpu_python_sec": round(max(0.0, cpu - jvm_cpu), 2),
+            "gc_sec": round(jvm1["gc_sec"] - jvm0["gc_sec"], 2),
+            "jit_sec": round(jvm1["jit_sec"] - jvm0["jit_sec"], 2)}
+
+
+def scale_run(cores: int, path: str):
+    """Ad hoc single-shot leg: fresh pinned session, one full warm-up
+    run (long-lived-executor steady state), one timed run; prints one
+    JSON line. The per-round measurement path is ``scale_daemon`` (the
+    hypervisor's good-windows are often shorter than a JVM startup, so
+    pairs are taken from pre-warmed daemons — see _run_scaling)."""
+    spark = _open_scale_session(cores)
+    cfg = _config()
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    _timed_scale_job(spark, docs, cfg, cores, n_docs)  # warm-up, discarded
+    print(json.dumps(_timed_scale_job(spark, docs, cfg, cores, n_docs)))
     sys.stdout.flush()
+    spark.stop()
+
+
+def scale_daemon(cores: int, path: str, cmd_dir: str):
+    """Long-lived pinned leg executor for the scaling protocol: builds a
+    warm session (full dry run of the timed job — python workers forked,
+    JIT compiled, shuffle paths resident, exactly the steady state of a
+    real long-lived executor), signals readiness, then runs the timed
+    job each time the parent drops a ``go_<cores>_<k>`` trigger file,
+    writing ``res_<cores>_<k>`` atomically. Exits on ``stop``.
+
+    Why daemons: this host's healthy windows can be shorter than a
+    single JVM startup, so fresh-JVM-per-leg pairs could NEVER land
+    inside one window; with pre-warmed daemons a matched (high, low)
+    pair costs only the two timed walls (~30-60 s healthy)."""
+    spark = _open_scale_session(cores)
+    cfg = _config()
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    _timed_scale_job(spark, docs, cfg, cores, n_docs)  # warm-up, discarded
+    with open(os.path.join(cmd_dir, f"ready_{cores}"), "w") as fh:
+        fh.write(str(os.getpid()))
+    k = 0
+    stopf = os.path.join(cmd_dir, "stop")
+    while not os.path.exists(stopf):
+        gof = os.path.join(cmd_dir, f"go_{cores}_{k}")
+        if not os.path.exists(gof):
+            time.sleep(0.25)
+            continue
+        leg = _timed_scale_job(spark, docs, cfg, cores, n_docs)
+        tmp = os.path.join(cmd_dir, f".res_{cores}_{k}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(leg))
+        os.replace(tmp, os.path.join(cmd_dir, f"res_{cores}_{k}"))
+        k += 1
     spark.stop()
 
 
@@ -445,30 +503,54 @@ def _write_baseline_md(result: dict) -> None:
 
 
 def _run_scaling(queries, result, emit):
-    # -- scaling: same job, fresh JVM per level, each leg PINNED to its
-    # core budget (see SCALE_LOW comment). Legs run as interleaved
-    # (high, low) matched pairs: the host throttles this VM in
-    # multi-minute episodes (hypervisor steal), so only ADJACENT runs
-    # share comparable host conditions — efficiency is computed per pair
-    # and the best pair is the headline (least-interfered window), with
-    # every raw leg + a per-leg host-health burn rate reported for audit.
+    # -- scaling: same job at two parallelism levels, each leg PINNED to
+    # its core budget (see SCALE_LOW comment) and served by a PRE-WARMED
+    # long-lived daemon (see scale_daemon: good-windows here can be
+    # shorter than a JVM startup). Legs run as adjacent (high, low)
+    # matched pairs behind a host-health gate: the host throttles this VM
+    # in multi-minute episodes (hypervisor steal), so only adjacent runs
+    # inside a healthy window measure the job — efficiency is computed
+    # per pair and the best pair is the headline, with every raw leg +
+    # per-leg burn rates + a CPU breakdown reported for audit.
     import shutil
+    import tempfile
 
     scaling: dict[str, dict] = {}
     pairs: list[dict] = []
     have_taskset = shutil.which("taskset") is not None
     hi_c, lo_c = SCALE_LOW * 4, SCALE_LOW
 
-    def run_leg(cores: int):
-        cmd = [sys.executable, os.path.abspath(__file__), "--scale-run",
-               str(cores), SCALE_PATH]
+    cmd_dir = tempfile.mkdtemp(prefix="mashspark_scale_cmd_")
+    daemons = []
+    for cores in (hi_c, lo_c):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-daemon",
+               str(cores), SCALE_PATH, cmd_dir]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=SCALE_LEG_TIMEOUT, cwd=REPO)
-        line = [l for l in out.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        leg = json.loads(line)
+        daemons.append(subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=REPO))
+
+    def _wait_file(path: str, timeout: float) -> None:
+        t0 = time.time()
+        while not os.path.exists(path):
+            if time.time() - t0 > timeout:
+                raise subprocess.TimeoutExpired(path, timeout)
+            if any(d.poll() is not None for d in daemons):
+                raise subprocess.TimeoutExpired(f"daemon died waiting {path}", 0)
+            time.sleep(0.3)
+
+    leg_seq = {hi_c: 0, lo_c: 0}
+
+    def run_leg(cores: int):
+        k = leg_seq[cores]
+        with open(os.path.join(cmd_dir, f"go_{cores}_{k}"), "w") as fh:
+            fh.write("")
+        res_path = os.path.join(cmd_dir, f"res_{cores}_{k}")
+        _wait_file(res_path, SCALE_LEG_TIMEOUT)
+        leg_seq[cores] = k + 1
+        with open(res_path) as fh:
+            leg = json.load(fh)
         prev = scaling.get(f"local[{cores}]")
         if prev is None or leg["wall_sec"] < prev["wall_sec"]:
             scaling[f"local[{cores}]"] = leg
@@ -485,9 +567,29 @@ def _run_scaling(queries, result, emit):
             "pairs": pairs,
         }
     )
-    scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
+    scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
     t_scale0 = time.time()
     health_deadline = t_scale0 + HEALTH_WAIT
+    try:
+        # daemons warm up with a full dry run each; generous timeout (a
+        # throttled host makes warm-up arbitrarily slow, but that time
+        # overlaps the health wait anyway)
+        _wait_file(os.path.join(cmd_dir, f"ready_{hi_c}"), 1200)
+        _wait_file(os.path.join(cmd_dir, f"ready_{lo_c}"), 1200)
+        result["scaling"]["warm_executors"] = True
+    except subprocess.TimeoutExpired:
+        result["scaling"]["daemon_error"] = "daemons never became ready"
+        for d in daemons:
+            d.kill()
+        return
+    _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
+                  hi_c, lo_c, scale_budget, t_scale0, health_deadline,
+                  cmd_dir, daemons)
+
+
+def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
+                  hi_c, lo_c, scale_budget, t_scale0, health_deadline,
+                  cmd_dir, daemons):
     for rep in range(max(1, SCALE_REPS)):
         # stop adding pairs once the budget is spent and at least one pair
         # exists: a throttled host makes legs arbitrarily slow, and the
@@ -557,6 +659,14 @@ def _run_scaling(queries, result, emit):
         # pairs only add wall-clock risk to the round's global timeout
         if pairs and effs[-1] >= 0.85 and rep >= 1:
             break
+    # shut the leg daemons down (stop file, then kill as backstop)
+    with open(os.path.join(cmd_dir, "stop"), "w") as fh:
+        fh.write("")
+    for d in daemons:
+        try:
+            d.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            d.kill()
 
 
 def main():
@@ -708,5 +818,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-run":
         scale_run(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-daemon":
+        scale_daemon(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     else:
         main()
