@@ -256,6 +256,17 @@ def _jvm_cpu_from_proc() -> float:
     return round(sum(procs[p][2] for p in members if procs[p][1] == "java"), 2)
 
 
+def _host_steal_sec() -> float:
+    """Cumulative hypervisor steal time (seconds, all vCPUs) from
+    /proc/stat — the direct evidence channel for 'the wall gap is host
+    throttling': a leg's steal delta is CPU the guest was entitled to
+    but never granted during the timed window."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    # cpu user nice system idle iowait irq softirq steal ...
+    return round(int(parts[8]) / os.sysconf("SC_CLK_TCK"), 2)
+
+
 def _jvm_counters(spark) -> dict:
     """JVM-side accounting (local mode: driver == executor): process CPU
     via /proc, cumulative GC ms and JIT ms via JMX. Used to split a leg's
@@ -312,6 +323,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     ids0 = _persistent_rdd_ids(spark)
     cpu0 = _tree_cpu_sec()
     jvm0 = _jvm_counters(spark)
+    steal0 = _host_steal_sec()
     t0 = time.time()
     # localCheckpoint, not persist: the columnar cache builder chokes on
     # 8 KB binary rows (see pipeline.py dedup_pipeline comment; 2.9x)
@@ -326,6 +338,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     )
     n_cand = cand.count()
     wall = time.time() - t0
+    steal = round(_host_steal_sec() - steal0, 2)
     cpu = round(_tree_cpu_sec() - cpu0, 2)
     jvm1 = _jvm_counters(spark)
     jvm_cpu = round(jvm1["jvm_cpu_sec"] - jvm0["jvm_cpu_sec"], 2)
@@ -339,6 +352,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
             "n_candidates": n_cand,
             "docs_per_sec": round(n_docs / wall, 1),
             "burn_rate": burn, "cpu_sec": cpu,
+            "host_steal_sec": steal,
             "cpu_jvm_sec": jvm_cpu,
             "cpu_python_sec": round(max(0.0, cpu - jvm_cpu), 2),
             "gc_sec": round(jvm1["gc_sec"] - jvm0["gc_sec"], 2),
@@ -636,7 +650,8 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 pair["cpu_low_sec"] = lo["cpu_sec"]
                 pair["cpu_work_conservation"] = round(
                     lo["cpu_sec"] / hi["cpu_sec"], 3)
-                for k in ("cpu_jvm_sec", "cpu_python_sec", "gc_sec", "jit_sec"):
+                for k in ("cpu_jvm_sec", "cpu_python_sec", "gc_sec", "jit_sec",
+                          "host_steal_sec"):
                     if k in hi:
                         pair[f"{k}_high"] = hi[k]
                         pair[f"{k}_low"] = lo.get(k)
