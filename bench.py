@@ -599,7 +599,6 @@ def _run_scaling(queries, result, emit):
     )
     scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
     t_scale0 = time.time()
-    health_deadline = t_scale0 + HEALTH_WAIT
     try:
         # daemons warm up with a full dry run each; generous timeout (a
         # throttled host makes warm-up arbitrarily slow, but that time
@@ -613,13 +612,11 @@ def _run_scaling(queries, result, emit):
             d.kill()
         return
     _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
-                  hi_c, lo_c, scale_budget, t_scale0, health_deadline,
-                  cmd_dir, daemons)
+                  hi_c, lo_c, scale_budget, t_scale0, cmd_dir, daemons)
 
 
 def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
-                  hi_c, lo_c, scale_budget, t_scale0, health_deadline,
-                  cmd_dir, daemons):
+                  hi_c, lo_c, scale_budget, t_scale0, cmd_dir, daemons):
     for rep in range(max(1, SCALE_REPS)):
         # stop adding pairs once the budget is spent and at least one pair
         # exists: a throttled host makes legs arbitrarily slow, and the
@@ -629,8 +626,12 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
             break
         # wait (bounded) for a healthy host window before measuring: a
         # pair inside a throttle episode measures the hypervisor, and its
-        # efficiency number is noise in BOTH directions
-        obs = _wait_healthy(health_deadline)
+        # efficiency number is noise in BOTH directions. The wait budget
+        # is PER PAIR (capped by the remaining overall scale budget), so
+        # later reps still insist on a decent window instead of running
+        # back-to-back once one global deadline has passed.
+        remaining = scale_budget - (time.time() - t_scale0)
+        obs = _wait_healthy(time.time() + max(60.0, min(HEALTH_WAIT, remaining)))
         hi = lo = None
         try:
             # LOW leg first: it is the ~4x longer one, so if the health
