@@ -256,15 +256,27 @@ def _jvm_cpu_from_proc() -> float:
     return round(sum(procs[p][2] for p in members if procs[p][1] == "java"), 2)
 
 
-def _host_steal_sec() -> float:
-    """Cumulative hypervisor steal time (seconds, all vCPUs) from
-    /proc/stat — the direct evidence channel for 'the wall gap is host
-    throttling': a leg's steal delta is CPU the guest was entitled to
-    but never granted during the timed window."""
+def _host_steal_sec(cpus=None) -> float:
+    """Cumulative hypervisor steal time (seconds) from /proc/stat —
+    whole host, or summed over a specific core set (``cpus``). The
+    per-core form matters because legs are taskset-pinned: the steal
+    delta on exactly the leg's cores is CPU that leg was entitled to
+    but never granted. Guest per-process utime ABSORBS stolen ticks on
+    this kernel (measured: a 46-core-s job 'burned' 461 core-s during a
+    deep throttle with 130 s host steal), so raw cpu_sec comparisons
+    across host states are meaningless without this channel."""
+    hz = os.sysconf("SC_CLK_TCK")
     with open("/proc/stat") as fh:
-        parts = fh.readline().split()
-    # cpu user nice system idle iowait irq softirq steal ...
-    return round(int(parts[8]) / os.sysconf("SC_CLK_TCK"), 2)
+        lines = fh.readlines()
+    if cpus is None:
+        return round(int(lines[0].split()[8]) / hz, 2)
+    want = {f"cpu{c}" for c in cpus}
+    total = 0
+    for line in lines[1:]:
+        parts = line.split()
+        if parts and parts[0] in want:
+            total += int(parts[8])
+    return round(total / hz, 2)
 
 
 def _jvm_counters(spark) -> dict:
@@ -320,10 +332,12 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     from mashspark.sketch import sketch_documents
 
     burn = _burn_rate(1.0)
+    aff = sorted(os.sched_getaffinity(0))
     ids0 = _persistent_rdd_ids(spark)
     cpu0 = _tree_cpu_sec()
     jvm0 = _jvm_counters(spark)
     steal0 = _host_steal_sec()
+    psteal0 = _host_steal_sec(aff)
     t0 = time.time()
     # localCheckpoint, not persist: the columnar cache builder chokes on
     # 8 KB binary rows (see pipeline.py dedup_pipeline comment; 2.9x)
@@ -339,6 +353,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     n_cand = cand.count()
     wall = time.time() - t0
     steal = round(_host_steal_sec() - steal0, 2)
+    psteal = round(_host_steal_sec(aff) - psteal0, 2)
     cpu = round(_tree_cpu_sec() - cpu0, 2)
     jvm1 = _jvm_counters(spark)
     jvm_cpu = round(jvm1["jvm_cpu_sec"] - jvm0["jvm_cpu_sec"], 2)
@@ -353,6 +368,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1),
             "burn_rate": burn, "cpu_sec": cpu,
             "host_steal_sec": steal,
+            "pinned_steal_sec": psteal, "pinned_cpus": len(aff),
             "cpu_jvm_sec": jvm_cpu,
             "cpu_python_sec": round(max(0.0, cpu - jvm_cpu), 2),
             "gc_sec": round(jvm1["gc_sec"] - jvm0["gc_sec"], 2),
@@ -658,6 +674,9 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 ),
                 **obs,
             }
+            # determinism audit: both legs must produce the same output
+            pair["outputs_match"] = bool(
+                hi.get("n_candidates") == lo.get("n_candidates"))
             if hi.get("cpu_sec") and lo.get("cpu_sec"):
                 # work-conservation: total CPU consumed for identical work;
                 # ~1.0 means the 4N leg adds no job-side overhead (wall
@@ -667,10 +686,18 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 pair["cpu_work_conservation"] = round(
                     lo["cpu_sec"] / hi["cpu_sec"], 3)
                 for k in ("cpu_jvm_sec", "cpu_python_sec", "gc_sec", "jit_sec",
-                          "host_steal_sec"):
+                          "host_steal_sec", "pinned_steal_sec"):
                     if k in hi:
                         pair[f"{k}_high"] = hi[k]
                         pair[f"{k}_low"] = lo.get(k)
+                # guest utime absorbs stolen ticks on this kernel, so the
+                # honest conservation subtracts the steal measured on the
+                # leg's own pinned cores during its timed window
+                adj_hi = hi["cpu_sec"] - hi.get("pinned_steal_sec", 0.0)
+                adj_lo = lo["cpu_sec"] - lo.get("pinned_steal_sec", 0.0)
+                if adj_hi > 0 and adj_lo > 0:
+                    pair["cpu_work_conservation_steal_adj"] = round(
+                        adj_lo / adj_hi, 3)
             pairs.append(pair)
         except (subprocess.TimeoutExpired, IndexError,
                 json.JSONDecodeError) as e:
