@@ -340,15 +340,23 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     psteal0 = _host_steal_sec(aff)
     t0 = time.time()
     # localCheckpoint, not persist: the columnar cache builder chokes on
-    # 8 KB binary rows (see pipeline.py dedup_pipeline comment; 2.9x)
+    # 8 KB binary rows (see pipeline.py dedup_pipeline comment; 2.9x).
+    # eager=True everywhere a checkpointed relation has multiple
+    # consumers: with lazy checkpoints, AQE submits the downstream
+    # exchange-materialization jobs concurrently and their tasks RACE to
+    # compute the same checkpoint — the loser blocks on the RDD
+    # checkpoint lock (measured: a 17 s zero-CPU task stall in a 40 s
+    # 8-core run) and overlapping partitions compute twice. That waste
+    # grows with task slots, so it taxes exactly the high-parallelism
+    # leg (lsh.candidate_pairs docstring).
     sketches = sketch_documents(docs, cfg.sketch, cfg.lsh).localCheckpoint(
-        eager=False)
+        eager=True)
     exact_groups = exact_collapse(sketches)
     rep_ids = exact_groups.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    reps = sketches.join(rep_ids, "doc_id", "left_semi")
+    reps = sketches.join(rep_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     cand, _metrics = _lsh.candidate_pairs(
         reps, band_doc_cap=cfg.lsh.band_doc_cap,
-        hard_bucket_cap=cfg.lsh.hard_bucket_cap,
+        hard_bucket_cap=cfg.lsh.hard_bucket_cap, eager=True,
     )
     n_cand = cand.count()
     wall = time.time() - t0

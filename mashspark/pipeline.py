@@ -139,7 +139,14 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     # via event log). On a real cluster the sketches table is written
     # bucketed by doc_id (Iceberg) and the joins read it shuffle-free;
     # localCheckpoint's lost-executor caveat doesn't apply to that path.
-    sketches = sketches.localCheckpoint(eager=False)
+    # eager=True: sketches fans out to exact_collapse AND the reps
+    # semi-join; with a lazy checkpoint AQE submits those consumers'
+    # exchange-materialization jobs concurrently and their tasks race to
+    # compute the same checkpoint — the loser blocks on the RDD
+    # checkpoint lock (measured: 17 s zero-CPU task stall in a 40 s
+    # 8-core run) and overlapping partitions compute the sketch UDF
+    # twice. One ordered materialization is strictly cheaper.
+    sketches = sketches.localCheckpoint(eager=True)
 
     # exact_groups is consumed by reps, member edges and user inspection;
     # persist the skinny (doc_id, rep_id) map so the fp groupBy+join runs
@@ -155,6 +162,7 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         reps,
         band_doc_cap=config.lsh.band_doc_cap,
         hard_bucket_cap=config.lsh.hard_bucket_cap,
+        eager=True,
     )
     pairs = _verify.verify_pairs(
         cand,
@@ -167,8 +175,10 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     )
 
     # materialize verified pairs once: CC, edge derivation and user
-    # inspection all reuse them (verification is the expensive join)
-    pairs = pairs.localCheckpoint(eager=False)
+    # inspection all reuse them (verification is the expensive join);
+    # eager for the same multi-consumer checkpoint-race reason as
+    # sketches above (CC's first two star rounds launch concurrently)
+    pairs = pairs.localCheckpoint(eager=True)
 
     # duplicate edges: verified rep-rep edges + member->rep edges of
     # exact-dup groups (exact dups are duplicates by definition: j = 1).
