@@ -115,7 +115,7 @@ def simhash_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("_b.block_idx").alias("block_idx"),
         F.col("_b.block_val").alias("block_val"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # eager: two join branches consume it
     left = exploded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
         "block_idx", "block_val",

@@ -133,7 +133,10 @@ def substring_dup_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
     # family handles at document granularity — this operator's target is
     # long low-multiplicity repeats. The fat anchor relation only ever
     # joins the tiny over-cap KEY SET (AQE broadcasts it).
-    anchors = anchors.localCheckpoint(eager=False)
+    # eager: anchors fans out to the sizes groupBy AND the anti-join;
+    # lazy checkpoints race under AQE's concurrent job submission (see
+    # lsh.candidate_pairs docstring)
+    anchors = anchors.localCheckpoint(eager=True)
     sizes = anchors.groupBy("hash").agg(F.count("*").alias("n"))
     multi = sizes.filter(F.col("n") > 1)
     metrics = multi.agg(

@@ -216,7 +216,10 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
             # per-batch re-execution instead. Block release is the
             # caller's pipeline-level concern (pipeline.DedupResult
             # .release() sweeps every checkpoint created during the run).
-            cands = cands.localCheckpoint(eager=False)
+            # eager: the survivor list has three consumers whose AQE jobs
+            # launch concurrently; a lazy checkpoint makes their tasks
+            # race on the checkpoint lock (see lsh.candidate_pairs).
+            cands = cands.localCheckpoint(eager=True)
         # restrict the fat table to survivor ids BEFORE the attach joins so
         # they only move survivors' sketches instead of the whole table.
         # No forced broadcast hint: the survivor-id set is O(true pairs)
