@@ -519,6 +519,36 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _urls_for_docs(spark, sf_dir):
+    """Deterministic synthetic URLs over the fixture docs (the sf tables
+    carry no url column): every 5 consecutive doc_ids form a family whose
+    variants 0/1/2 (trailing slash, www+fragment, :443+utm tracking)
+    canonicalize to one URL, while variants 3 (real params) and 4 (http
+    scheme) stay distinct. Mirrored verbatim in the DuckDB oracle."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    fam = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    v = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.com/p/"), fam, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("https://www.example.com/p/"), fam, F.lit("#sec2")))
+        .when(v == 2, F.concat(F.lit("https://example.com:443/p/"), fam,
+                               F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 3, F.concat(F.lit("https://example.com/p/"), fam, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://example.com/p/"), fam, F.lit("?a=1&b=2")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def _q_url_dup_groups(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (mashspark.urls): the ingest
+    pre-filter of a Common-Crawl-style pipeline. Pure column expressions
+    (regexp + higher-order array functions), map-only + one short-key
+    groupBy; DuckDB reimplements the same canonicalization independently."""
+    from mashspark.urls import url_dup_groups
+
+    return url_dup_groups(_urls_for_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -549,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
         "events_hourly": _q_events_hourly,
+        "url_dup_groups": _q_url_dup_groups,
     }
 
 
@@ -816,5 +847,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # independent DuckDB reimplementation of mashspark.urls'
+        # canonicalization (fragment strip, scheme/host lowercase, www
+        # strip, default-port strip, trailing-slash strip, tracking-param
+        # drop + param sort) over the same synthesized URL variants
+        "url_dup_groups": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                    CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+                      WHEN 1 THEN 'https://www.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#sec2'
+                      WHEN 2 THEN 'https://example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+                      WHEN 3 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+                      ELSE 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+                    END AS url
+                FROM documents
+            ),
+            defrag AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+            ),
+            parts AS (
+                SELECT doc_id,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+                    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                    regexp_extract(u, '\?([^#]*)', 1) AS q
+                FROM defrag
+            ),
+            norm AS (
+                SELECT doc_id,
+                    scheme || '://' ||
+                    (CASE scheme
+                       WHEN 'http' THEN regexp_replace(host0, ':80$', '')
+                       WHEN 'https' THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END) ||
+                    path ||
+                    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS norm_url
+                FROM (
+                    -- COALESCE: DuckDB's array_to_string([]) is NULL
+                    SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+                    )), '&'), '') AS qn
+                    FROM parts
+                )
+            )
+            SELECT norm_url, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM norm GROUP BY norm_url HAVING count(*) > 1
         """,
     }

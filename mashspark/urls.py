@@ -1,0 +1,108 @@
+"""URL canonicalization + URL-level exact dedup.
+
+The first stage of a Common-Crawl-style dedup pipeline is URL-level:
+the same page is fetched under trivially-different URLs (fragment,
+tracking params, www/port/trailing-slash variants), and collapsing
+those BEFORE content sketching removes refetch duplicates at zero
+sketch cost. The reference (marbl/Mash) has no URL stage — sequences
+have no URLs — so this operator is part of the web-text extension
+layer (SURVEY.md §2 LLM-pipeline ops), not a reference-parity op.
+
+Everything here is pure Spark column expressions (regexp + higher-order
+array functions): whole-stage codegen, no Python, no shuffle beyond the
+final groupBy on the canonical key — at 10^12 rows the normalize step
+is map-only and the dedup groupBy shuffles one short string per doc
+with map-side partial aggregation.
+
+Canonicalization (order matters):
+1. drop the ``#fragment``;
+2. lowercase scheme and host; strip a leading ``www.``; strip explicit
+   default ports ``:80`` (http) and ``:443`` (https);
+3. strip trailing ``/`` runs from the path (``/a/`` == ``/a``; a bare
+   ``/`` collapses to the empty path);
+4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``), sort the survivors (param order is not
+   semantic), drop the ``?`` when nothing survives.
+
+Deliberately NOT done (they change page identity on real sites):
+percent-decoding, param-value normalization, host IDN folding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# matches one query param that is pure click-tracking
+_TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def normalized_url(url) -> Column:
+    """Canonical form of ``url`` (str column name or Column) per the
+    module docstring. Pure column expression — codegen end to end."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")  # fragment never reaches the server
+
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host, ":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.regexp_replace(path, "/+$", "")
+
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qnorm = F.array_join(kept, "&")
+
+    base = F.concat(scheme, F.lit("://"), host, path)
+    return F.when(qnorm == "", base).otherwise(
+        F.concat(base, F.lit("?"), qnorm)
+    )
+
+
+def with_normalized_url(df: DataFrame, url_col: str = "url",
+                        out_col: str = "norm_url") -> DataFrame:
+    """Map-only: append the canonical URL column."""
+    return df.withColumn(out_col, normalized_url(url_col))
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """URL-level duplicate groups: (norm_url, n_docs, min_doc_id) for
+    canonical URLs fetched more than once. groupBy does map-side partial
+    aggregation; the canonical key is short, so the shuffle is bounded
+    by ~(key + 12 B)/doc — the cheapest dedup signal in the pipeline and
+    the one applied first at ingest."""
+    return (
+        with_normalized_url(df, url_col)
+        .groupBy("norm_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per canonical URL — the ingest
+    pre-filter that runs before any content sketching. Rows with NULL
+    urls are kept as-is (no URL evidence, not duplicates)."""
+    normed = with_normalized_url(df, url_col)
+    reps = normed.groupBy("norm_url").agg(F.min(id_col).alias(id_col))
+    return normed.join(reps, ["norm_url", id_col], "left_semi").drop("norm_url")

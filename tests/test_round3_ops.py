@@ -89,3 +89,52 @@ def test_screen_set_size_matches_shuffled_formulation(spark):
     vals = decode_signed(np.array([r.hash for r in rows], dtype=np.int64))
     want = kmv_set_size(vals)
     assert got == want
+
+
+def test_url_normalization_variants(spark):
+    """Canonicalization folds fragment / www / default-port / tracking /
+    trailing-slash variants together and keeps real differences apart."""
+    from mashspark.urls import with_normalized_url
+
+    rows = [
+        (0, "https://example.com/p/7/"),
+        (1, "https://WWW.Example.COM/p/7#frag"),
+        (2, "https://example.com:443/p/7?utm_source=x&utm_campaign=y"),
+        (3, "HTTP://example.com:80/p/7"),
+        (4, "https://example.com/p/7?b=2&a=1"),
+        (5, "https://example.com/p/7?a=1&b=2&fbclid=zzz"),
+        (6, "https://example.com/p/8"),
+        (7, "http://example.com/p/7"),
+        (8, "https://example.com"),
+        (9, "https://example.com/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.norm_url for r in with_normalized_url(df).collect()}
+    # 0,1,2 fold to the canonical https form
+    assert got[0] == got[1] == got[2] == "https://example.com/p/7"
+    # :80 stripped only under http; scheme difference is preserved
+    assert got[3] == got[7] == "http://example.com/p/7"
+    assert got[3] != got[0]
+    # param order is not semantic; tracking params are dropped
+    assert got[4] == got[5] == "https://example.com/p/7?a=1&b=2"
+    assert got[4] != got[0]
+    # different path stays different; bare host == trailing-slash host
+    assert got[6] == "https://example.com/p/8"
+    assert got[8] == got[9] == "https://example.com"
+
+
+def test_url_dedup_keeps_min_id_rep(spark):
+    from mashspark.urls import url_dedup, url_dup_groups
+
+    rows = [
+        (10, "https://a.com/x?utm_source=1"),
+        (11, "https://www.a.com/x"),
+        (12, "https://a.com/y"),
+        (13, "https://a.com/x/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [10, 12]
+    groups = url_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 3 and groups[0].min_doc_id == 10
