@@ -549,6 +549,31 @@ def _q_url_dup_groups(spark, sf_dir):
     return url_dup_groups(_urls_for_docs(spark, sf_dir))
 
 
+def _q_extract_roundtrip(spark, sf_dir):
+    """html→text extraction (mashspark.extract): wrap each fixture text in
+    deterministic markup (tags + a script block + an entity), extract, and
+    report per-doc extracted length + whether extraction reproduced the
+    original text byte-for-byte (the input_hint per-url invariant). DuckDB
+    reimplements the extraction pipeline independently."""
+    from mashspark.extract import extracted_text
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><script>var a=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><!-- c --> &amp;</body></html>"),
+        ),
+        "utf-8",
+    )
+    ext = extracted_text(html)
+    return d.select(
+        "doc_id",
+        F.length(ext).cast("long").alias("ext_n_chars"),
+        (ext == F.concat(F.col("text"), F.lit(" &"))).alias("matches"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -580,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_payload_stats": _q_media_payload_stats,
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
+        "extract_roundtrip": _q_extract_roundtrip,
     }
 
 
@@ -895,5 +921,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT norm_url, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM norm GROUP BY norm_url HAVING count(*) > 1
+        """,
+        # independent DuckDB reimplementation of mashspark.extract's
+        # html→text pipeline (script/style/comment/tag strip, entity
+        # decode with &amp; last, whitespace collapse) over the same
+        # synthesized markup; 'g' = RE2 global-replace option
+        "extract_roundtrip": r"""
+            WITH html AS (
+                SELECT doc_id, text,
+                    '<html><head><script>var a=1;</script></head><body><p>'
+                    || text || '</p><!-- c --> &amp;</body></html>' AS h
+                FROM documents
+            ),
+            ext AS (
+                SELECT doc_id, text,
+                    trim(regexp_replace(
+                        replace(replace(replace(replace(replace(
+                            regexp_replace(
+                            regexp_replace(
+                            regexp_replace(
+                            regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                                '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                                '(?s)<!--.*?-->', ' ', 'g'),
+                                '(?s)<[^>]*>', ' ', 'g'),
+                            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                            '&#39;', ''''), '&amp;', '&'),
+                        '\s+', ' ', 'g')) AS t
+                FROM html
+            )
+            SELECT doc_id, CAST(length(t) AS BIGINT) AS ext_n_chars,
+                   (t = text || ' &') AS matches
+            FROM ext
         """,
     }

@@ -138,3 +138,32 @@ def test_url_dedup_keeps_min_id_rep(spark):
     groups = url_dup_groups(df).collect()
     assert len(groups) == 1
     assert groups[0].n_docs == 3 and groups[0].min_doc_id == 10
+
+
+def test_extract_text_byte_identical_per_url(spark):
+    """input_hint invariant: extracted text is a pure function of the html
+    bytes — re-extracting the synthetic corpus's html reproduces its text
+    column byte-for-byte at any partitioning."""
+    from mashspark.extract import extraction_invariant_violations
+    from mashspark.webtext import webtext_spark_df
+
+    docs = webtext_spark_df(spark, n_base=40, seed=9)
+    assert extraction_invariant_violations(docs).count() == 0
+    assert extraction_invariant_violations(docs.repartition(7)).count() == 0
+
+
+def test_extract_text_handles_markup(spark):
+    from mashspark.extract import extract_text
+
+    rows = [
+        (1, b"<html><head><script>var x=1; if (x<2) {}</script>"
+            b"<style>a { color: red }</style></head>"
+            b"<body><h1>Title</h1>\n<p>hello   <b>world</b></p>"
+            b"<!-- hidden --> a &amp;lt; b &amp; c &lt;tag&gt;</body></html>"),
+        (2, b"plain text no markup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r.doc_id: r.text for r in extract_text(df).collect()}
+    # &amp;lt; decodes to the literal text "&lt;" (no double decode)
+    assert got[1] == "Title hello world a &lt; b & c <tag>"
+    assert got[2] == "plain text no markup"
