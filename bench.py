@@ -251,10 +251,18 @@ def _wait_healthy(deadline: float) -> dict:
     moderately-granted window beats measuring after the deadline in
     whatever state the host happens to be). The probe values are always
     recorded per pair, so the audit trail shows which tier admitted a
-    measurement."""
+    measurement.
+
+    STRICT mode (SPARK_GRAFT_HEALTH_STRICT=1, used by the long-running
+    --scale-only collector): never relax, and on deadline return with
+    host_healthy=False so the caller SKIPS the rep instead of measuring
+    into a throttled window — the collector can afford to wait for real
+    windows; junk pairs cost daemon time during which a real window
+    could open and be missed."""
+    strict = os.environ.get("SPARK_GRAFT_HEALTH_STRICT") == "1"
     while True:
         remaining = deadline - time.time()
-        relax = 1.0 if remaining > HEALTH_WAIT * 0.5 else 0.6
+        relax = 1.0 if strict or remaining > HEALTH_WAIT * 0.5 else 0.6
         need_single = HEALTH_MIN * relax
         need_ratio = AGG_RATIO_MIN * relax
         single = _burn_rate(1.0)
@@ -706,6 +714,13 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
         # back-to-back once one global deadline has passed.
         remaining = scale_budget - (time.time() - t_scale0)
         obs = _wait_healthy(time.time() + max(60.0, min(HEALTH_WAIT, remaining)))
+        if (not obs["host_healthy"]
+                and os.environ.get("SPARK_GRAFT_HEALTH_STRICT") == "1"):
+            # collector mode: a rep measured into a throttled window is
+            # junk AND occupies the daemons while a real window could
+            # open — skip and re-wait (the rep loop bounds total time)
+            result["scaling"][f"rep{rep}_skipped_unhealthy"] = obs
+            continue
         hi = lo = None
         try:
             # LOW leg first: it is the ~4x longer one, so if the health
