@@ -89,8 +89,11 @@ SCALE_PATH = f"/tmp/mashspark_bench_webtext_{SCALE_BASES}"
 # the emitted result so the audit trail shows which invocation measured
 # what.
 PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
+# v4: single-threaded subprocess burn probes (the v3 in-process probe
+# thrashed machine-wide BLAS threads on narrow taskset pins and read
+# false deep-throttle on every low leg) + start/end probes per leg.
 SCALE_PROTO = (
-    f"v3:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
+    f"v4:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
     f":shuffle=16:task.cpus=2"
 )
 
@@ -199,18 +202,39 @@ def _tree_cpu_sec() -> float:
     return round(total + ru.ru_utime + ru.ru_stime, 2)
 
 
-def _burn_rate(seconds: float = 1.5) -> float:
-    """Single-thread matmul rate (iters/sec): a host-health probe recorded
-    with each scaling leg so matched-window pairing is auditable."""
-    import numpy as np
+# Probe code, run in a fresh subprocess with BLAS forced SINGLE-threaded.
+# CRITICAL (round-2 postmortem): an in-process probe inherits the leg's
+# taskset pin, and numpy's OpenBLAS sizes its thread pool from the MACHINE
+# (32 cores), so on a 2-core pin the probe thrashed 32 BLAS threads on 2
+# cores and read ~1 it/s while the host was perfectly healthy — every low
+# leg looked "deep-throttled", window_matched was systematically false,
+# and the scaling gate starved on a measurement artifact. A single-thread
+# subprocess probe reads ~15-16 it/s on a healthy core REGARDLESS of the
+# caller's pin width (measured: unpinned 15.1-16.0, taskset 0-1 15.5).
+_PROBE_CODE = (
+    "import os\n"
+    "for v in ('OPENBLAS_NUM_THREADS','OMP_NUM_THREADS','MKL_NUM_THREADS'):\n"
+    "    os.environ[v]='1'\n"
+    "import numpy as np,time\n"
+    "a=np.random.default_rng(0).random((1200,1200))\n"
+    "(a@a).sum()\n"  # warm allocator/codepaths outside the timed loop
+    "t0=time.time();n=0\nwhile time.time()-t0<{seconds}: (a@a).sum();n+=1\n"
+    "print(n/(time.time()-t0))"
+)
 
-    a = np.random.default_rng(0).random((1200, 1200))
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < seconds:
-        (a @ a).sum()
-        n += 1
-    return round(n / (time.time() - t0), 2)
+
+def _burn_rate(seconds: float = 1.5) -> float:
+    """Single-thread matmul rate (iters/sec) in a fresh single-threaded
+    subprocess (inherits the caller's CPU affinity): a host-health probe
+    recorded with each scaling leg so matched-window pairing is auditable.
+    Healthy ~15-16 it/s on this box; deep throttle reads <2."""
+    p = subprocess.run(
+        [sys.executable, "-c", _PROBE_CODE.format(seconds=seconds)],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        return round(float(p.stdout.strip()), 2)
+    except ValueError:
+        return 0.0
 
 
 # host-health gate for the scaling pairs: this VM's hypervisor throttles
@@ -219,27 +243,30 @@ def _burn_rate(seconds: float = 1.5) -> float:
 # job. Healthy means the single-thread rate clears HEALTH_MIN AND 4
 # concurrent probe processes achieve >= AGG_RATIO_MIN x the single rate
 # (the parallel grant is what a scaling pair actually needs).
-HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_MIN", "70"))
+# HEALTH_MIN calibration: single-threaded-BLAS probe, healthy ~15-16 it/s
+# (the old default 70 belonged to the multi-threaded in-process probe).
+HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_MIN", "12"))
 AGG_RATIO_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_AGG_RATIO", "3.0"))
 HEALTH_WAIT = int(os.environ.get("SPARK_GRAFT_HEALTH_WAIT", "600"))
 
 
 def _agg_burn_rate(nproc: int = 4, seconds: float = 1.2) -> float:
-    """Aggregate matmul rate across ``nproc`` concurrent subprocesses —
-    probes the host's PARALLEL cpu grant (the single-thread rate can look
-    healthy while the hypervisor caps the total)."""
-    code = (
-        "import numpy as np,time\n"
-        "a=np.random.default_rng(0).random((1200,1200))\n"
-        f"t0=time.time();n=0\nwhile time.time()-t0<{seconds}: (a@a).sum();n+=1\n"
-        "print(n/(time.time()-t0))"
-    )
+    """Aggregate matmul rate across ``nproc`` concurrent single-threaded
+    subprocesses — probes the host's PARALLEL cpu grant (the single-thread
+    rate can look healthy while the hypervisor caps the total)."""
+    code = _PROBE_CODE.format(seconds=seconds)
     procs = [
         subprocess.Popen([sys.executable, "-c", code],
                          stdout=subprocess.PIPE, text=True)
         for _ in range(nproc)
     ]
-    return round(sum(float(p.communicate()[0]) for p in procs), 2)
+    total = 0.0
+    for p in procs:
+        try:
+            total += float(p.communicate()[0])
+        except ValueError:
+            pass
+    return round(total, 2)
 
 
 def _wait_healthy(deadline: float) -> dict:
@@ -413,6 +440,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     )
     n_cand = cand.count()
     wall = time.time() - t0
+    burn_end = _burn_rate(1.0)  # outside the timed window (wall is set)
     steal = round(_host_steal_sec() - steal0, 2)
     psteal = round(_host_steal_sec(aff) - psteal0, 2)
     cpu = round(_tree_cpu_sec() - cpu0, 2)
@@ -427,7 +455,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     return {"cores": cores, "wall_sec": round(wall, 2), "n_docs": n_docs,
             "n_candidates": n_cand,
             "docs_per_sec": round(n_docs / wall, 1),
-            "burn_rate": burn, "cpu_sec": cpu,
+            "burn_rate": burn, "burn_rate_end": burn_end, "cpu_sec": cpu,
             "host_steal_sec": steal,
             "pinned_steal_sec": psteal, "pinned_cpus": len(aff),
             "cpu_jvm_sec": jvm_cpu,
@@ -731,19 +759,29 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
             # efficiency > 1, observed live.)
             lo = run_leg(lo_c)
             hi = run_leg(hi_c)
-            burns = [b for b in (hi.get("burn_rate"), lo.get("burn_rate")) if b]
+            # window matching over FOUR probes — start AND end of each
+            # leg: a throttle episode that opens or closes mid-leg (the
+            # common case; episodes run minutes, legs run ~0.5-2 min)
+            # shows up as a start/end probe mismatch even when both legs'
+            # start probes agreed.
+            burns = [b for b in (hi.get("burn_rate"), lo.get("burn_rate"),
+                                 hi.get("burn_rate_end"),
+                                 lo.get("burn_rate_end")) if b]
             eff = round((lo["wall_sec"] / hi["wall_sec"]) / 4.0, 3)
             pair = {
                 "t_high_sec": hi["wall_sec"], "t_low_sec": lo["wall_sec"],
                 "efficiency": eff,
                 "burn_high": hi.get("burn_rate"),
                 "burn_low": lo.get("burn_rate"),
+                "burn_high_end": hi.get("burn_rate_end"),
+                "burn_low_end": lo.get("burn_rate_end"),
                 # a pair is evidence ONLY if both legs saw comparable host
-                # conditions; a one-sided throttle fabricates the ratio in
-                # either direction (> 1.05 is physically impossible for
-                # this job and is auto-disqualified)
+                # conditions throughout; a one-sided throttle fabricates
+                # the ratio in either direction (> 1.05 is physically
+                # impossible for this job and is auto-disqualified)
                 "window_matched": bool(
-                    burns and min(burns) / max(burns) >= 0.6 and eff <= 1.05
+                    len(burns) == 4
+                    and min(burns) / max(burns) >= 0.6 and eff <= 1.05
                 ),
                 **obs,
             }
