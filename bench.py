@@ -12,10 +12,11 @@ flushed — the final line of stdout is always the most complete result, so
 a timeout anywhere loses only the unfinished tail, never the whole run
 (round-1 failure mode: rc=124 with zero parsed numbers).
 
-Internal modes: ``python bench.py --scale-daemon <cores> <parquet>
-<cmd_dir>`` (long-lived pinned leg executor used by the scaling
-protocol; see scale_daemon) and ``python bench.py --scale-run <cores>
-<parquet>`` (ad hoc single-shot leg).
+Internal modes: ``python bench.py --scale-run <cores> <parquet>`` (one
+fresh-JVM pinned scaling leg: warm-up + timed run, one JSON line) and
+``python bench.py --scale-only`` (pair collector feeding the persistent
+pair cache; set SPARK_GRAFT_HEALTH_STRICT=1 to only measure on a healthy
+quiet machine).
 """
 
 from __future__ import annotations
@@ -92,9 +93,12 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # v4: single-threaded subprocess burn probes (the v3 in-process probe
 # thrashed machine-wide BLAS threads on narrow taskset pins and read
 # false deep-throttle on every low leg) + start/end probes per leg.
+# v5: fresh right-sized (12g) JVM per leg instead of warm 48g daemons
+# (idle oversized local JVMs developed 2.7 s young-GC pauses on the
+# next run — see scale_run docstring) + machine-quietness admission.
 SCALE_PROTO = (
-    f"v4:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
-    f":shuffle=16:task.cpus=2"
+    f"v5:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
+    f":shuffle=16:task.cpus=2:legs=fresh-jvm-12g"
 )
 
 
@@ -218,8 +222,15 @@ _PROBE_CODE = (
     "import numpy as np,time\n"
     "a=np.random.default_rng(0).random((1200,1200))\n"
     "(a@a).sum()\n"  # warm allocator/codepaths outside the timed loop
-    "t0=time.time();n=0\nwhile time.time()-t0<{seconds}: (a@a).sum();n+=1\n"
-    "print(n/(time.time()-t0))"
+    # MAX of two timed windows: single-window readings swing 10-18 it/s
+    # even on an idle box (turbo ramp / scheduler placement), and probe
+    # noise is strictly downward — max estimates granted capacity
+    "best=0.0\n"
+    "for _ in range(2):\n"
+    "    t0=time.time();n=0\n"
+    "    while time.time()-t0<{seconds}: (a@a).sum();n+=1\n"
+    "    best=max(best,n/(time.time()-t0))\n"
+    "print(best)"
 )
 
 
@@ -248,6 +259,9 @@ def _burn_rate(seconds: float = 1.5) -> float:
 HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_MIN", "12"))
 AGG_RATIO_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_AGG_RATIO", "3.0"))
 HEALTH_WAIT = int(os.environ.get("SPARK_GRAFT_HEALTH_WAIT", "600"))
+# max busy cores from OTHER processes for the machine to count as quiet
+# (idle daemons + this harness ~1-2; the round-2 zombie burned 2.25+)
+BUSY_MAX = float(os.environ.get("SPARK_GRAFT_HEALTH_BUSY_MAX", "3.0"))
 
 
 def _agg_burn_rate(nproc: int = 4, seconds: float = 1.2) -> float:
@@ -284,7 +298,7 @@ def _wait_healthy(deadline: float) -> dict:
     --scale-only collector): never relax, and on deadline return with
     host_healthy=False so the caller SKIPS the rep instead of measuring
     into a throttled window — the collector can afford to wait for real
-    windows; junk pairs cost daemon time during which a real window
+    windows; junk pairs cost minutes during which a real window
     could open and be missed."""
     strict = os.environ.get("SPARK_GRAFT_HEALTH_STRICT") == "1"
     while True:
@@ -292,21 +306,46 @@ def _wait_healthy(deadline: float) -> dict:
         relax = 1.0 if strict or remaining > HEALTH_WAIT * 0.5 else 0.6
         need_single = HEALTH_MIN * relax
         need_ratio = AGG_RATIO_MIN * relax
+        # quietness: OTHER processes' busy-core count while we are idle
+        # (round-3 postmortem: a leftover round-2 collector burned 2.25
+        # cores + 32-thread probe bursts for hours and contaminated every
+        # leg; its load never failed the grant probes — a competing JVM
+        # on the leg's pinned cores is invisible to them)
+        busy = _busy_cores(0.8)
         single = _burn_rate(1.0)
         agg = _agg_burn_rate() if single >= need_single else 0.0
         ratio = round(agg / single, 2) if single else 0.0
         obs = {"probe_single": single, "probe_agg_ratio": ratio,
-               "host_healthy": single >= need_single and ratio >= need_ratio}
+               "host_busy_cores": busy,
+               "host_healthy": (single >= need_single
+                                and ratio >= need_ratio
+                                and busy <= BUSY_MAX / relax)}
         if obs["host_healthy"] or time.time() >= deadline:
             return obs
         time.sleep(15)
 
 
+def _busy_cores(seconds: float = 0.8) -> float:
+    """Host-wide non-idle core count over a short window, measured while
+    the caller sleeps — any load it shows belongs to OTHER processes."""
+    def snap():
+        with open("/proc/stat") as fh:
+            p = fh.readline().split()
+        total = sum(int(x) for x in p[1:9])
+        idle = int(p[4]) + int(p[5])
+        return total, idle
+    t0, i0 = snap()
+    time.sleep(seconds)
+    t1, i1 = snap()
+    dt = t1 - t0
+    return round(32.0 * (dt - (i1 - i0)) / dt, 2) if dt else 0.0
+
+
 def _jvm_cpu_from_proc() -> float:
     """CPU seconds (utime+stime, all threads) of DESCENDANT java
     processes, via /proc (py4j can't reach the com.sun getProcessCpuTime
-    overload). Descendants-only matters: the daemonized scaling protocol
-    keeps two leg JVMs alive on the host at once. Python UDF workers are
+    overload). Descendants-only matters: other leg JVMs may be alive on
+    the host at the same time. Python UDF workers are
     separate processes, so tree_cpu - jvm_cpu attributes the python
     side."""
     import glob
@@ -380,10 +419,16 @@ def _open_scale_session(cores: int):
     concurrent-task count at 2, 4 and 8 cores under task.cpus=2): with
     cores*2, the legs ran different task counts per shuffle, so per-task
     fixed costs (Arrow stream setup, UDF deserialization, worker
-    handshake) differed systematically between the legs being compared."""
+    handshake) differed systematically between the legs being compared.
+
+    Heap is RIGHT-SIZED (12g default), not the 48g the big bench queries
+    use: the timed job's working set is ~2-3 GB, and an oversized G1
+    heap grows a multi-GB young gen whose evacuation pauses reach ~2.7 s
+    with the 2-thread GC of a narrow leg (see scale_run docstring)."""
     from mashspark.session import get_spark
 
-    os.environ.setdefault("MASHSPARK_DRIVER_MEM", "48g")
+    os.environ["MASHSPARK_DRIVER_MEM"] = os.environ.get(
+        "SPARK_GRAFT_SCALE_MEM", "12g")
     spark = get_spark(cores=cores, shuffle_partitions=16,
                       app_name=f"bench-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -403,7 +448,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     startup / imports / probes never bias cpu_sec (ADVICE r2); the
     result carries a jvm/python/gc/jit breakdown so any conservation
     deficit at the high leg is attributable. All checkpoint blocks the
-    run creates are swept afterwards so repeated daemon runs don't
+    run creates are swept afterwards so the warm-up run doesn't
     accumulate memory."""
     from pyspark.sql import functions as F
 
@@ -465,11 +510,19 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
 
 
 def scale_run(cores: int, path: str):
-    """Ad hoc single-shot leg: fresh pinned session, one full warm-up
-    run (long-lived-executor steady state), one timed run; prints one
-    JSON line. The per-round measurement path is ``scale_daemon`` (the
-    hypervisor's good-windows are often shorter than a JVM startup, so
-    pairs are taken from pre-warmed daemons — see _run_scaling)."""
+    """One scaling leg: fresh pinned session, one full warm-up run
+    (python workers forked, JIT compiled, shuffle paths resident —
+    long-lived-executor steady state), one timed run; prints one JSON
+    line. This IS the per-round measurement path: fresh JVMs per leg.
+
+    Round-3 postmortem of the previous (pre-warmed daemon) protocol: a
+    48g daemon JVM that idles between runs develops multi-second young
+    GC pauses on the next run (measured: 44 young GCs totalling 120 s
+    in one leg, survivor space pinned at 100%, the task thread stuck in
+    MemoryStore deserialized-unroll array copies) — a local-mode heap
+    artifact that made warm legs 10x slower than the identical job in a
+    fresh JVM. Real clusters run right-sized executor JVMs, which is
+    what a fresh ``SPARK_GRAFT_SCALE_MEM``-sized JVM per leg models."""
     spark = _open_scale_session(cores)
     cfg = _config()
     docs = spark.read.parquet(path)
@@ -478,43 +531,7 @@ def scale_run(cores: int, path: str):
     print(json.dumps(_timed_scale_job(spark, docs, cfg, cores, n_docs)))
     sys.stdout.flush()
     spark.stop()
-
-
-def scale_daemon(cores: int, path: str, cmd_dir: str):
-    """Long-lived pinned leg executor for the scaling protocol: builds a
-    warm session (full dry run of the timed job — python workers forked,
-    JIT compiled, shuffle paths resident, exactly the steady state of a
-    real long-lived executor), signals readiness, then runs the timed
-    job each time the parent drops a ``go_<cores>_<k>`` trigger file,
-    writing ``res_<cores>_<k>`` atomically. Exits on ``stop``.
-
-    Why daemons: this host's healthy windows can be shorter than a
-    single JVM startup, so fresh-JVM-per-leg pairs could NEVER land
-    inside one window; with pre-warmed daemons a matched (high, low)
-    pair costs only the two timed walls (~30-60 s healthy)."""
-    spark = _open_scale_session(cores)
-    cfg = _config()
-    docs = spark.read.parquet(path)
-    n_docs = docs.count()
     _timed_scale_job(spark, docs, cfg, cores, n_docs)  # warm-up, discarded
-    with open(os.path.join(cmd_dir, f"ready_{cores}"), "w") as fh:
-        fh.write(str(os.getpid()))
-    k = 0
-    stopf = os.path.join(cmd_dir, "stop")
-    while not os.path.exists(stopf):
-        gof = os.path.join(cmd_dir, f"go_{cores}_{k}")
-        if not os.path.exists(gof):
-            time.sleep(0.25)
-            continue
-        leg = _timed_scale_job(spark, docs, cfg, cores, n_docs)
-        tmp = os.path.join(cmd_dir, f".res_{cores}_{k}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(json.dumps(leg))
-        os.replace(tmp, os.path.join(cmd_dir, f"res_{cores}_{k}"))
-        k += 1
-    spark.stop()
-
-
 def _write_baseline_md(result: dict) -> None:
     """BENCH/BASELINE.md: the scaling-protocol evidence BASELINE.md:30
     promises. Re-written on every emit so a timeout keeps the latest."""
@@ -551,16 +568,18 @@ def _write_baseline_md(result: dict) -> None:
         "No real cluster exists in this sandbox; per BASELINE.md the",
         "two-cluster-size rule is evidenced by the SAME job (sketch + LSH",
         "candidate generation, the north-rule throughput metric) at two",
-        "parallelism levels on the SAME input. Each level is a LONG-LIVED",
-        "pre-warmed daemon executor (a full dry run of the timed job",
-        "precedes measurement — real executors are long-lived, and this",
-        "host's healthy windows are often shorter than a JVM startup),",
-        "PINNED (taskset) to exactly its core budget, so the JVM +",
-        "shuffle writers + python workers share the stated cores as",
-        "they would on a real N-core executor — unpinned, a local[N] leg",
-        "keeps ~3N host threads busy and silently inflates the low leg.",
-        "Legs run as adjacent (high, low) matched pairs behind a",
-        "host-health gate (single-thread + 4-process aggregate probes);",
+        "parallelism levels on the SAME input. Each level is a FRESH",
+        "right-sized JVM running warm-up + timed job (warm-up brings",
+        "python workers, JIT and shuffle paths to long-lived-executor",
+        "steady state before the timed window), PINNED (taskset) to",
+        "exactly its core budget, so the JVM + shuffle writers + python",
+        "workers share the stated cores as they would on a real N-core",
+        "executor — unpinned, a local[N] leg keeps ~3N host threads busy",
+        "and silently inflates the low leg.",
+        "Legs run as adjacent (low, high) matched pairs behind a",
+        "host-health + machine-quietness gate (single-thread and",
+        "4-process aggregate probes, all single-threaded-BLAS",
+        "subprocesses, plus an other-process busy-core ceiling);",
         "the headline efficiency is the best pair (the hypervisor",
         "throttles this VM in multi-minute episodes, so only adjacent",
         "runs inside a healthy window measure the job) and every raw",
@@ -643,54 +662,31 @@ def _write_baseline_md(result: dict) -> None:
 
 
 def _run_scaling(queries, result, emit):
-    # -- scaling: same job at two parallelism levels, each leg PINNED to
-    # its core budget (see SCALE_LOW comment) and served by a PRE-WARMED
-    # long-lived daemon (see scale_daemon: good-windows here can be
-    # shorter than a JVM startup). Legs run as adjacent (high, low)
-    # matched pairs behind a host-health gate: the host throttles this VM
-    # in multi-minute episodes (hypervisor steal), so only adjacent runs
-    # inside a healthy window measure the job — efficiency is computed
-    # per pair and the best pair is the headline, with every raw leg +
-    # per-leg burn rates + a CPU breakdown reported for audit.
+    # -- scaling: same job at two parallelism levels, each leg a FRESH
+    # taskset-PINNED JVM running warm-up + timed job (scale_run; see its
+    # docstring for why warm long-lived daemons were abandoned: idle 48g
+    # local-mode JVMs develop multi-second young-GC pauses on the next
+    # run — a bench artifact, not an engine property). Legs run as
+    # adjacent (low, high) matched pairs behind a host-health +
+    # machine-quietness gate; efficiency is computed per pair and the
+    # best window-matched pair is the headline, with every raw leg +
+    # per-leg start/end burn probes + a CPU breakdown recorded for audit.
     import shutil
-    import tempfile
 
     scaling: dict[str, dict] = {}
     pairs: list[dict] = []
     have_taskset = shutil.which("taskset") is not None
     hi_c, lo_c = SCALE_LOW * 4, SCALE_LOW
 
-    cmd_dir = tempfile.mkdtemp(prefix="mashspark_scale_cmd_")
-    daemons = []
-    for cores in (hi_c, lo_c):
-        cmd = [sys.executable, os.path.abspath(__file__), "--scale-daemon",
-               str(cores), SCALE_PATH, cmd_dir]
+    def run_leg(cores: int):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-run",
+               str(cores), SCALE_PATH]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        daemons.append(subprocess.Popen(
-            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            cwd=REPO))
-
-    def _wait_file(path: str, timeout: float) -> None:
-        t0 = time.time()
-        while not os.path.exists(path):
-            if time.time() - t0 > timeout:
-                raise subprocess.TimeoutExpired(path, timeout)
-            if any(d.poll() is not None for d in daemons):
-                raise subprocess.TimeoutExpired(f"daemon died waiting {path}", 0)
-            time.sleep(0.3)
-
-    leg_seq = {hi_c: 0, lo_c: 0}
-
-    def run_leg(cores: int):
-        k = leg_seq[cores]
-        with open(os.path.join(cmd_dir, f"go_{cores}_{k}"), "w") as fh:
-            fh.write("")
-        res_path = os.path.join(cmd_dir, f"res_{cores}_{k}")
-        _wait_file(res_path, SCALE_LEG_TIMEOUT)
-        leg_seq[cores] = k + 1
-        with open(res_path) as fh:
-            leg = json.load(fh)
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=REPO, timeout=SCALE_LEG_TIMEOUT)
+        leg = json.loads(proc.stdout.strip().splitlines()[-1])
         prev = scaling.get(f"local[{cores}]")
         if prev is None or leg["wall_sec"] < prev["wall_sec"]:
             scaling[f"local[{cores}]"] = leg
@@ -704,29 +700,18 @@ def _run_scaling(queries, result, emit):
             "scale_corpus_docs": None,
             "low_cores": lo_c, "high_cores": hi_c,
             "gate": 0.8,
+            "legs": "fresh-jvm-per-leg (warm-up + timed inside each)",
             "pairs": pairs,
         }
     )
     scale_budget = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
     t_scale0 = time.time()
-    try:
-        # daemons warm up with a full dry run each; generous timeout (a
-        # throttled host makes warm-up arbitrarily slow, but that time
-        # overlaps the health wait anyway)
-        _wait_file(os.path.join(cmd_dir, f"ready_{hi_c}"), 1200)
-        _wait_file(os.path.join(cmd_dir, f"ready_{lo_c}"), 1200)
-        result["scaling"]["warm_executors"] = True
-    except subprocess.TimeoutExpired:
-        result["scaling"]["daemon_error"] = "daemons never became ready"
-        for d in daemons:
-            d.kill()
-        return
     _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
-                  hi_c, lo_c, scale_budget, t_scale0, cmd_dir, daemons)
+                  hi_c, lo_c, scale_budget, t_scale0)
 
 
 def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
-                  hi_c, lo_c, scale_budget, t_scale0, cmd_dir, daemons):
+                  hi_c, lo_c, scale_budget, t_scale0):
     for rep in range(max(1, SCALE_REPS)):
         # stop adding pairs once the budget is spent and at least one pair
         # exists: a throttled host makes legs arbitrarily slow, and the
@@ -745,7 +730,7 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
         if (not obs["host_healthy"]
                 and os.environ.get("SPARK_GRAFT_HEALTH_STRICT") == "1"):
             # collector mode: a rep measured into a throttled window is
-            # junk AND occupies the daemons while a real window could
+            # junk and wastes minutes during which a real window could
             # open — skip and re-wait (the rep loop bounds total time)
             result["scaling"][f"rep{rep}_skipped_unhealthy"] = obs
             continue
@@ -874,14 +859,6 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 and (rep >= 1 or result["scaling"].get("efficiency_source")
                      == "cache")):
             break
-    # shut the leg daemons down (stop file, then kill as backstop)
-    with open(os.path.join(cmd_dir, "stop"), "w") as fh:
-        fh.write("")
-    for d in daemons:
-        try:
-            d.wait(timeout=30)
-        except subprocess.TimeoutExpired:
-            d.kill()
 
 
 def main():
@@ -1062,8 +1039,6 @@ def scale_only():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-run":
         scale_run(int(sys.argv[2]), sys.argv[3])
-    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-daemon":
-        scale_daemon(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-only":
         scale_only()
     else:
