@@ -65,14 +65,16 @@ SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
 SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "720"))
 # the scaling pair gets its own corpus, sized so COMPUTE dominates fixed
-# stage overhead at both legs while keeping each matched pair SHORT
-# enough to fit inside ONE hypervisor good-window (multi-minute episodes,
-# measured single-thread swings of 17-50x within minutes — r2's 120k-base
-# pairs at ~4 min/pair straddled windows and the gate failed on host
-# noise). 48k bases ~= 42k docs puts a healthy-host pair at ~60-90 s
-# total; the warm-up run inside scale_run keeps fixed startup out of the
-# timed window, so the shorter leg stays compute-dominated.
-SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "48000"))
+# per-job driver latency. Measured on a quiet machine (fresh 12g JVMs):
+# the timed job has F ~= 2.4 s of serial driver/stage-scheduling cost
+# (tiny-corpus leg: 2.51 s wall for 1.7k docs) against W ~= 34 s of
+# parallel work at 48k bases — eff = ((W+F)/(W/4+F))/4 caps at ~0.78
+# there, which is why clean 48k pairs landed at 0.75-0.85. 96k bases
+# doubles W (~84k docs -> ~168k docs), lifting the cap to ~0.91 and
+# halving per-leg noise; a full pair is ~4 min including warm-ups, fine
+# under the machine-quietness admission gate (the old short-window
+# rationale died with the zombie-process discovery — see _busy_cores).
+SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "96000"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -124,6 +126,21 @@ def _load_cached_pairs(exclude_ts: set) -> list[dict]:
                     continue
                 if p.get("proto") == SCALE_PROTO and p.get("ts") not in exclude_ts:
                     p["from_cache"] = True
+                    # retro-apply the steal-fraction disqualifier to pairs
+                    # cached before it existed (same protocol, channels
+                    # stored; pinned core counts are fixed by the proto)
+                    if "steal_frac_high" not in p:
+                        try:
+                            sf_h = p["pinned_steal_sec_high"] / (
+                                p["t_high_sec"] * SCALE_LOW * 4)
+                            sf_l = p["pinned_steal_sec_low"] / (
+                                p["t_low_sec"] * SCALE_LOW)
+                            p["steal_frac_high"] = round(sf_h, 4)
+                            p["steal_frac_low"] = round(sf_l, 4)
+                            if max(sf_h, sf_l) >= 0.05:
+                                p["window_matched"] = False
+                        except (KeyError, ZeroDivisionError, TypeError):
+                            pass
                     out.append(p)
     except OSError:
         pass
@@ -606,41 +623,44 @@ def _write_baseline_md(result: dict) -> None:
         lines.append("- (scaling legs not yet complete)")
     lines += [
         "",
-        "### Host calibration / compute-layer scaling",
+        "### Host calibration — round-3 correction of the round-2 record",
         "",
-        "The wall-clock efficiency above is bounded by the sandbox",
-        "HYPERVISOR, not by the job. Direct evidence, all measured on this",
-        "box during this round:",
+        "Round 2 attributed the failing efficiency numbers to hypervisor",
+        "throttle episodes. Round 3 found the dominant causes were",
+        "MEASUREMENT artifacts, and corrected each:",
         "",
-        "1. **CPU steal**: sampling /proc/stat DURING the 4-way leg shows",
-        "   4.5-9.6 cores' worth of hypervisor steal time against ~8-12",
-        "   busy cores — the VM is granted roughly a third of the CPU it",
-        "   schedules, and the penalty grows with requested parallelism",
-        "   (the 1-way leg, ~3 busy threads, is barely stolen from).",
-        "2. **Compute layer scales**: total in-UDF CPU across workers for",
-        "   the identical sketch job is 49.3 core-s (1 worker) vs 54.9",
-        "   core-s (4 concurrent workers) — only +11% under 4x",
-        "   concurrency (~0.90 compute-scaling efficiency); pure numpy",
-        "   across 8 plain processes scales 7.67x. The job is map-only +",
-        "   one balanced 16-byte/row band shuffle, no driver-side loops —",
-        "   the structure that scales executors on a real cluster.",
-        "3. **Separate executor JVMs change nothing**: the same legs under",
-        "   local-cluster[4,1] / local-cluster[1,1] (real executor",
-        "   processes, package shipped via addPyFile — the spark-submit",
-        "   --py-files path the north rule names) give the same ~0.62,",
-        "   ruling out shared-driver-JVM artifacts.",
-        "4. **Oversubscription is toxic here**: local[32] runs the full",
+        "1. **Zombie benchmark processes**: a collector from the previous",
+        "   round survived the round transition and ran for ~2 h at 225%",
+        "   CPU with 32-thread BLAS probe bursts every 15 s, contaminating",
+        "   every leg measured while it lived. Fixed: the quietness gate",
+        "   (_busy_cores: other-process busy cores must be < 3 during an",
+        "   idle window) refuses to admit pairs on a non-quiet machine.",
+        "2. **BLAS-oversubscribed probes**: the old in-process matmul",
+        "   probe inherited the leg's taskset pin while OpenBLAS sized",
+        "   its pool from the 32-core machine — on a 2-core pin it read",
+        "   ~1 it/s on a HEALTHY host, so low legs systematically looked",
+        "   deep-throttled and window matching starved. Fixed:",
+        "   single-threaded subprocess probes (healthy ~13-17 it/s at any",
+        "   pin width), taken at start AND end of every leg.",
+        "3. **Warm oversized daemon JVMs**: an idle 48g local-mode JVM",
+        "   develops multi-second young-GC pauses on its next run (44",
+        "   young GCs = 120 s in one leg; survivor space pinned at 100%).",
+        "   Fixed: each leg is a fresh right-sized (12g) JVM running",
+        "   warm-up + timed job — the shape of a real executor.",
+        "4. **Mid-leg steal episodes**: real but intermittent; a leg whose",
+        "   pinned cores lose >=5% of core-time to steal is disqualified",
+        "   (steal_frac channels per pair). Genuine throttle windows do",
+        "   still occur — they are now excluded rather than explained.",
+        "",
+        "What remains true from round 2:",
+        "",
+        "5. **Oversubscription is toxic here**: local[32] runs the full",
         "   webtext pipeline 8x SLOWER than local[12] (212s vs 26s,",
         "   identical outputs) — hence the timed sessions cap at 12 cores.",
-        "5. **Hard parallel-CPU quota (observed through round 2's",
-        "   windows)**: repeated probes measured single-thread numpy at",
-        "   121-153 it/s (healthy) while the AGGREGATE across 8 processes",
-        "   reached only 0.7-1.2x the single-thread rate — the hypervisor",
-        "   grants ~1-1.5 cores total regardless of process count. Under",
-        "   such a quota no job can exhibit wall-clock scaling; the",
-        "   cpu_work_conservation channel in each pair is the evidence",
-        "   that the job itself parallelizes without waste.",
-        "6. **Columnar-cache cliff (fixed in round 2)**: DataFrame",
+        "6. **Quiet-machine capacity**: single-threaded matmul scales",
+        "   1->2->4->8 procs at 14.2/25.1/56.0/100.8 it/s (2->8 = 4.01x,",
+        "   ideal), so the host supports the 2-vs-8-core comparison.",
+        "7. **Columnar-cache cliff (fixed in round 2)**: DataFrame",
         "   .persist() of the 8 KB binary sketch rows drove every task",
         "   into ColumnBuilder.ensureFreeSpace buffer-doubling (31 s GC in",
         "   3 min, python workers starved to ~1 core of 8); switching the",
@@ -752,6 +772,17 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
             burns = [b for b in (hi.get("burn_rate"), lo.get("burn_rate"),
                                  hi.get("burn_rate_end"),
                                  lo.get("burn_rate_end")) if b]
+            # per-leg hypervisor-steal fraction ON THE PINNED CORES during
+            # the timed window: boundary burn probes miss an episode that
+            # opens and closes mid-leg (observed: 15.1 s stolen from a
+            # 16.9 s x 8-core high leg whose four probes all read healthy
+            # — efficiency 0.468 with steal-adjusted conservation 1.034,
+            # i.e. the host, not the job)
+            steal_fracs = [
+                leg.get("pinned_steal_sec", 0.0)
+                / max(leg["wall_sec"] * leg.get("pinned_cpus", 1), 1e-9)
+                for leg in (hi, lo)
+            ]
             eff = round((lo["wall_sec"] / hi["wall_sec"]) / 4.0, 3)
             pair = {
                 "t_high_sec": hi["wall_sec"], "t_low_sec": lo["wall_sec"],
@@ -764,9 +795,12 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 # conditions throughout; a one-sided throttle fabricates
                 # the ratio in either direction (> 1.05 is physically
                 # impossible for this job and is auto-disqualified)
+                "steal_frac_high": round(steal_fracs[0], 4),
+                "steal_frac_low": round(steal_fracs[1], 4),
                 "window_matched": bool(
                     len(burns) == 4
                     and min(burns) / max(burns) >= 0.6 and eff <= 1.05
+                    and max(steal_fracs) < 0.05
                 ),
                 **obs,
             }
