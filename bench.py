@@ -548,7 +548,6 @@ def scale_run(cores: int, path: str):
     print(json.dumps(_timed_scale_job(spark, docs, cfg, cores, n_docs)))
     sys.stdout.flush()
     spark.stop()
-    _timed_scale_job(spark, docs, cfg, cores, n_docs)  # warm-up, discarded
 def _write_baseline_md(result: dict) -> None:
     """BENCH/BASELINE.md: the scaling-protocol evidence BASELINE.md:30
     promises. Re-written on every emit so a timeout keeps the latest."""
