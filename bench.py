@@ -102,8 +102,8 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # (idle oversized local JVMs developed 2.7 s young-GC pauses on the
 # next run — see scale_run docstring) + machine-quietness admission.
 SCALE_PROTO = (
-    f"v6:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
-    f":shuffle=16:task.cpus=2:legs=fresh-jvm-12g-gcbarrier"
+    f"v7:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
+    f":shuffle=16:task.cpus=2:legs=fresh-jvm-12g-gcbarrier-pretouch"
 )
 
 
@@ -468,6 +468,11 @@ def _open_scale_session(cores: int):
 
     os.environ["MASHSPARK_DRIVER_MEM"] = os.environ.get(
         "SPARK_GRAFT_SCALE_MEM", "12g")
+    # pre-touch the whole heap at startup (outside every timed window):
+    # fresh guest pages are host-faulted on first touch in this sandbox,
+    # and an 8-way allocation burst over a lazily-committed heap reads
+    # as a hypervisor-steal storm in the timed run (see session.py)
+    os.environ["MASHSPARK_PRETOUCH"] = "1"
     spark = get_spark(cores=cores, shuffle_partitions=16,
                       app_name=f"bench-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -97,9 +97,24 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
     # with ActiveProcessorCount and burns ~10 CPU-s in parallel bursts —
     # noise in CPU-accounting comparisons between session sizes, and
     # irrelevant to steady-state throughput.
+    # MASHSPARK_PRETOUCH=1 (set by bench scaling legs): commit and touch
+    # the whole heap at JVM startup (-Xms=driver-mem + AlwaysPreTouch).
+    # On this Firecracker sandbox, guest pages are host-faulted on first
+    # touch; a fresh JVM faulting its heap at 8-way allocation rate
+    # inside a measured window shows up as a hypervisor-steal storm
+    # (observed: every 8-core leg dirty, every 2-core leg clean, while
+    # plain 8-process CPU burns scale ideally — small working sets).
+    # Pre-touching moves that one-time cost to startup, outside any
+    # timed window. Off by default: ordinary sessions prefer lazy
+    # commit (faster startup, smaller RSS).
+    pretouch = ""
+    if os.environ.get("MASHSPARK_PRETOUCH") == "1":
+        mem = os.environ.get("MASHSPARK_DRIVER_MEM", "8g")
+        pretouch = f"-Xms{mem} -XX:+AlwaysPreTouch "
     b = b.config(
         "spark.driver.extraJavaOptions",
-        f"-XX:ActiveProcessorCount={cores + 2} "
+        pretouch
+        + f"-XX:ActiveProcessorCount={cores + 2} "
         f"-XX:ParallelGCThreads={max(2, min(8, cores // 2))} -XX:ConcGCThreads=1 "
         f"-XX:CICompilerCount=2",
     )
