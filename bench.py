@@ -63,21 +63,23 @@ DUP_PROB = float(os.environ.get("SPARK_GRAFT_BENCH_DUP_PROB", "0.3"))
 # On real hardware with >=32 dedicated cores set SPARK_GRAFT_SCALE_LOW=8.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
-SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "720"))
+SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1200"))
 # the scaling pair gets its own corpus, sized so COMPUTE dominates fixed
 # per-job driver latency. Measured on a quiet machine (fresh 12g JVMs):
 # the timed job has F ~= 2.4 s of serial driver/stage-scheduling cost
 # (tiny-corpus leg: 2.51 s wall for 1.7k docs) against W ~= 34 s of
 # parallel work at 48k bases — eff = ((W+F)/(W/4+F))/4 caps at ~0.78
 # there (measured clean 48k pairs: 0.47-0.94, best above the model's
-# cap, so F is partly parallelizable). 96k doubled W and lifted the cap
-# to ~0.91, but its legs run 75-120 s and NEVER landed clean in round
-# 3's host weather: every 96k high leg straddled a throttle episode
-# (utime 3x work, pinned steal 50-70 s) while interleaved 2-core legs
-# stayed clean — the good windows on this hypervisor are shorter than a
-# 96k high leg. 64k is the compromise: cap ~0.87, high leg ~15 s, low
-# ~55 s, a full pair ~3 min including warm-ups.
-SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "64000"))
+# cap, so F is partly parallelizable). With the v7 pretouch fix (see
+# session.py: lazy heap faulting was what made every long high leg read
+# dirty), a clean 64k pair measures 0.612: the genuine tail — the
+# latency-bound collapse/LSH-join/count stage chain, ~10-14 s at BOTH
+# levels regardless of cores — is what bounds efficiency at small W, and
+# it amortizes to nothing at real scale (it is ~constant in stages, not
+# data). Passing 0.8 under a constant tail T needs W >= 22T: 256k bases
+# (~448k docs, W ~= 330 core-s) puts the model at ~0.84 with a ~50 s
+# high leg and ~3 min low leg — viable now that legs are clean.
+SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "256000"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -103,7 +105,7 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # next run — see scale_run docstring) + machine-quietness admission.
 SCALE_PROTO = (
     f"v7:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
-    f":shuffle=16:task.cpus=2:legs=fresh-jvm-12g-gcbarrier-pretouch"
+    f":shuffle=16:task.cpus=2:legs=fresh-jvm-20g-gcbarrier-pretouch"
 )
 
 
@@ -467,7 +469,7 @@ def _open_scale_session(cores: int):
     from mashspark.session import get_spark
 
     os.environ["MASHSPARK_DRIVER_MEM"] = os.environ.get(
-        "SPARK_GRAFT_SCALE_MEM", "12g")
+        "SPARK_GRAFT_SCALE_MEM", "20g")
     # pre-touch the whole heap at startup (outside every timed window):
     # fresh guest pages are host-faulted on first touch in this sandbox,
     # and an 8-way allocation burst over a lazily-committed heap reads
