@@ -579,7 +579,15 @@ def scale_run(cores: int, path: str):
     cfg = _config()
     docs = spark.read.parquet(path)
     n_docs = docs.count()
-    _timed_scale_job(spark, docs, cfg, cores, n_docs)  # warm-up, discarded
+    # warm-up on a ~1/6 slice: its job is CODE warmth (python workers
+    # forked, JIT compiled, shuffle paths resident), which a slice
+    # delivers at a fraction of the wall — a full-corpus warm-up pushed
+    # 256k low legs past the leg timeout. doc_id % 6 keeps the slice
+    # spread across every input partition (limit() would funnel).
+    from pyspark.sql import functions as _F
+
+    warm = docs.where(_F.col("doc_id") % 6 == 0)
+    _timed_scale_job(spark, warm, cfg, cores, n_docs)  # warm-up, discarded
     # heap barrier between warm-up and timed run: full GC compacts the
     # heap after the (blocking) checkpoint sweep so the timed window
     # starts from a clean MemoryStore + settled old gen, the state a
