@@ -1024,7 +1024,15 @@ def main():
         sys.stdout.flush()
         _write_baseline_md(result)
 
-    os.environ.setdefault("MASHSPARK_DRIVER_MEM", "48g")
+    # 16g pretouched, not 48g lazy: every query's working set fits in a
+    # few GB, an idle-grown 48g young gen produces multi-second G1
+    # pauses (scale_run docstring), and a lazily-committed heap faults
+    # its pages INSIDE the measured queries on this sandbox (session.py
+    # pretouch comment) — q3 measured 332 s under the lazy 48g session
+    # vs 49 s for the identical pipeline in a pretouched right-sized one
+    # (tools/profile_pipeline.py, same corpus, same cores).
+    os.environ.setdefault("MASHSPARK_DRIVER_MEM", "16g")
+    os.environ.setdefault("MASHSPARK_PRETOUCH", "1")
     spark = get_spark(cores=EFF_CPUS, shuffle_partitions=EFF_CPUS * 2, app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
