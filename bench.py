@@ -25,6 +25,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -103,9 +104,22 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # v5: fresh right-sized (12g) JVM per leg instead of warm 48g daemons
 # (idle oversized local JVMs developed 2.7 s young-GC pauses on the
 # next run — see scale_run docstring) + machine-quietness admission.
+# v8: CPU accounting via a sampling descendant monitor instead of a
+# live-tree end snapshot. Round-3 postmortem of v7: python workers that
+# exit INSIDE the timed window take their accumulated utime with them
+# (they are reaped by the JVM, so RUSAGE_CHILDREN never sees them), and
+# the long low legs idle their workers through minutes of JVM-only LSH
+# stages and lose exactly the sketch-stage CPU — cpu_python_sec_low read
+# 3-8 core-s for ~110 core-s of real work, one high leg recorded a
+# NEGATIVE tree delta (warm-up workers alive at t0, dead at end), and
+# the phantom conservation deficit (0.43-0.75) disqualified otherwise
+# clean pairs (eff 0.858 with steal~0 and matched burns). Verified with
+# tools/diag_worker_cpu.py: monitor_delta == snapshot_delta +-0.7% on a
+# leg whose workers survive the window.
 SCALE_PROTO = (
-    f"v7:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
+    f"v8:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
     f":shuffle=16:task.cpus=2:legs=fresh-jvm-20g-gcbarrier-pretouch"
+    f":cpu=sampled-monitor"
 )
 
 
@@ -245,6 +259,86 @@ def _tree_cpu_sec() -> float:
 
     ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     return round(total + ru.ru_utime + ru.ru_stime, 2)
+
+
+class _TreeCpuMonitor:
+    """Samples /proc for this process's descendant tree and remembers
+    every pid's LAST-SEEN cumulative CPU, so a worker that exits
+    mid-window still contributes its burn (v8 protocol note above —
+    the end-snapshot method lost every python worker the JVM reaped
+    inside the timed window). Per-comm totals let the pair record split
+    jvm vs python-worker CPU without the fragile `tree - jvm`
+    subtraction that went negative under v7."""
+
+    def __init__(self, interval: float = 0.25):
+        self.interval = interval
+        self.seen = {}  # pid -> [comm, last_cpu_sec]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _sample(self):
+        import glob
+
+        hz = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        procs = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(stat) as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            rp = raw.rindex(")")
+            pid = int(raw.split(" ", 1)[0])
+            comm = raw[raw.index("(") + 1:rp]
+            rest = raw[rp + 2:].split()
+            procs[pid] = (int(rest[1]), comm,
+                          (int(rest[11]) + int(rest[12])) / hz)
+        members = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _c, _u) in procs.items():
+                if pid not in members and ppid in members:
+                    members.add(pid)
+                    grew = True
+        for pid in members:
+            if pid not in procs:
+                continue
+            _ppid, comm, cpu = procs[pid]
+            ent = self.seen.get(pid)
+            if ent is None:
+                self.seen[pid] = [comm, cpu]
+            else:
+                # cumulative utime+stime is monotonic per pid; max()
+                # guards against pid reuse resetting the counter
+                ent[1] = max(ent[1], cpu)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._sample()
+            self._stop.wait(self.interval)
+        self._sample()
+
+    def start(self):
+        self._sample()  # synchronous baseline before the caller's t0
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def totals(self) -> dict:
+        """{'all': core-s, 'java': core-s, 'python': core-s} over every
+        pid ever seen (live or dead)."""
+        out = {"all": 0.0, "java": 0.0, "python": 0.0}
+        for comm, cpu in self.seen.values():
+            out["all"] += cpu
+            if "java" in comm:
+                out["java"] += cpu
+            elif "python" in comm:
+                out["python"] += cpu
+        return {k: round(v, 2) for k, v in out.items()}
 
 
 # Probe code, run in a fresh subprocess with BLAS forced SINGLE-threaded.
@@ -490,12 +584,15 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     shuffles), which at this fixture size would measure Spark's stage
     overhead rather than scaling of the throughput-bound stages.
 
-    CPU accounting: snapshotted at t0 of the TIMED window, so session
-    startup / imports / probes never bias cpu_sec (ADVICE r2); the
-    result carries a jvm/python/gc/jit breakdown so any conservation
-    deficit at the high leg is attributable. All checkpoint blocks the
-    run creates are swept afterwards so the warm-up run doesn't
-    accumulate memory."""
+    CPU accounting: a sampling descendant monitor (``_TreeCpuMonitor``)
+    runs across the timed window, baselined at t0, so (a) session
+    startup / imports / probes never bias cpu_sec (ADVICE r2) and (b)
+    python workers the JVM reaps mid-window keep their burn (v8
+    protocol note at SCALE_PROTO — the old live-tree end snapshot lost
+    them and fabricated conservation deficits). The result carries a
+    jvm/python/gc/jit breakdown so any conservation deficit at the high
+    leg is attributable. All checkpoint blocks the run creates are
+    swept afterwards so the warm-up run doesn't accumulate memory."""
     from pyspark.sql import functions as F
 
     from mashspark import lsh as _lsh
@@ -505,7 +602,9 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     burn = _burn_rate(1.0)
     aff = sorted(os.sched_getaffinity(0))
     ids0 = _persistent_rdd_ids(spark)
-    cpu0 = _tree_cpu_sec()
+    mon = _TreeCpuMonitor()
+    mon.start()  # synchronous baseline sample inside start()
+    cpu0 = mon.totals()
     jvm0 = _jvm_counters(spark)
     steal0 = _host_steal_sec()
     psteal0 = _host_steal_sec(aff)
@@ -531,10 +630,13 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     )
     n_cand = cand.count()
     wall = time.time() - t0
+    mon.stop()  # final synchronous sample inside stop()
+    cpu1 = mon.totals()
     burn_end = _burn_rate(1.0)  # outside the timed window (wall is set)
     steal = round(_host_steal_sec() - steal0, 2)
     psteal = round(_host_steal_sec(aff) - psteal0, 2)
-    cpu = round(_tree_cpu_sec() - cpu0, 2)
+    cpu = round(cpu1["all"] - cpu0["all"], 2)
+    py_cpu = round(cpu1["python"] - cpu0["python"], 2)
     jvm1 = _jvm_counters(spark)
     jvm_cpu = round(jvm1["jvm_cpu_sec"] - jvm0["jvm_cpu_sec"], 2)
     # sweep this run's checkpoint blocks (outside the timed window)
@@ -556,7 +658,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
             "host_steal_sec": steal,
             "pinned_steal_sec": psteal, "pinned_cpus": len(aff),
             "cpu_jvm_sec": jvm_cpu,
-            "cpu_python_sec": round(max(0.0, cpu - jvm_cpu), 2),
+            "cpu_python_sec": py_cpu,
             "gc_sec": round(jvm1["gc_sec"] - jvm0["gc_sec"], 2),
             "jit_sec": round(jvm1["jit_sec"] - jvm0["jit_sec"], 2)}
 
