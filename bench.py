@@ -418,6 +418,38 @@ def _agg_burn_rate(nproc: int = 4, seconds: float = 1.2) -> float:
     return round(total, 2)
 
 
+# Healthy anonymous-fault bandwidth on this box is multi-GiB/s; during
+# hypervisor throttle episodes it drops to ~6-150 MiB/s WHILE the CPU
+# burn probes read fully healthy (measured live: np.full of 32 MiB cost
+# 2.6 s with matmul at normal speed). A leg admitted into such a window
+# stalls on every fresh Arrow/shuffle/numpy buffer and the stall is
+# charged to guest utime. 300 MiB/s is ~10x above the throttled band and
+# ~10x below healthy — a clean separator.
+FAULT_BW_MIN = float(os.environ.get("SPARK_GRAFT_FAULT_BW_MIN", "300"))
+
+
+def _fault_bandwidth(mb: int = 24, budget_sec: float = 1.5) -> float:
+    """First-touch bandwidth (MiB/s) of fresh anonymous pages, measured
+    page-stride in-process; aborts at ``budget_sec`` (touched/elapsed is
+    already the answer when it's slow)."""
+    import mmap
+
+    page = mmap.PAGESIZE
+    m = mmap.mmap(-1, mb << 20)
+    t0 = time.time()
+    touched = 0
+    try:
+        for off in range(0, mb << 20, page):
+            m[off] = 1
+            touched += page
+            if touched % (1 << 20) == 0 and time.time() - t0 > budget_sec:
+                break
+    finally:
+        dt = max(time.time() - t0, 1e-9)
+        m.close()
+    return round(touched / (1 << 20) / dt, 1)
+
+
 def _wait_healthy(deadline: float) -> dict:
     """Block until the host looks healthy or ``deadline`` (epoch sec)
     passes; returns the last probe observation either way.
@@ -450,10 +482,19 @@ def _wait_healthy(deadline: float) -> dict:
         single = _burn_rate(1.0)
         agg = _agg_burn_rate() if single >= need_single else 0.0
         ratio = round(agg / single, 2) if single else 0.0
+        # fault-bandwidth throttle is ORTHOGONAL to the cpu grant: the
+        # hypervisor has windows where matmul runs at full speed but
+        # first-touch of fresh pages runs at ~6 MiB/s; the legs allocate
+        # Arrow/shuffle/numpy buffers inside the timed window, so such a
+        # window is dirty even with all burn probes green. Only probe it
+        # when the cpu channel already passed (it costs up to 1.5 s).
+        fbw = (_fault_bandwidth()
+               if single >= need_single and ratio >= need_ratio else 0.0)
         obs = {"probe_single": single, "probe_agg_ratio": ratio,
-               "host_busy_cores": busy,
+               "host_busy_cores": busy, "fault_bw_mibs": fbw,
                "host_healthy": (single >= need_single
                                 and ratio >= need_ratio
+                                and fbw >= FAULT_BW_MIN * relax
                                 and busy <= BUSY_MAX / relax)}
         if obs["host_healthy"] or time.time() >= deadline:
             return obs
@@ -600,6 +641,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     from mashspark.sketch import sketch_documents
 
     burn = _burn_rate(1.0)
+    fbw = _fault_bandwidth()
     aff = sorted(os.sched_getaffinity(0))
     ids0 = _persistent_rdd_ids(spark)
     mon = _TreeCpuMonitor()
@@ -633,6 +675,7 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     mon.stop()  # final synchronous sample inside stop()
     cpu1 = mon.totals()
     burn_end = _burn_rate(1.0)  # outside the timed window (wall is set)
+    fbw_end = _fault_bandwidth()
     steal = round(_host_steal_sec() - steal0, 2)
     psteal = round(_host_steal_sec(aff) - psteal0, 2)
     cpu = round(cpu1["all"] - cpu0["all"], 2)
@@ -654,7 +697,8 @@ def _timed_scale_job(spark, docs, cfg, cores: int, n_docs: int) -> dict:
     return {"cores": cores, "wall_sec": round(wall, 2), "n_docs": n_docs,
             "n_candidates": n_cand,
             "docs_per_sec": round(n_docs / wall, 1),
-            "burn_rate": burn, "burn_rate_end": burn_end, "cpu_sec": cpu,
+            "burn_rate": burn, "burn_rate_end": burn_end,
+            "fault_bw": fbw, "fault_bw_end": fbw_end, "cpu_sec": cpu,
             "host_steal_sec": steal,
             "pinned_steal_sec": psteal, "pinned_cpus": len(aff),
             "cpu_jvm_sec": jvm_cpu,
@@ -957,6 +1001,10 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                 "burn_low": lo.get("burn_rate"),
                 "burn_high_end": hi.get("burn_rate_end"),
                 "burn_low_end": lo.get("burn_rate_end"),
+                "fault_bw_high": hi.get("fault_bw"),
+                "fault_bw_low": lo.get("fault_bw"),
+                "fault_bw_high_end": hi.get("fault_bw_end"),
+                "fault_bw_low_end": lo.get("fault_bw_end"),
                 # a pair is evidence ONLY if both legs saw comparable host
                 # conditions throughout; a one-sided throttle fabricates
                 # the ratio in either direction (> 1.05 is physically
@@ -967,6 +1015,12 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                     len(burns) == 4
                     and min(burns) / max(burns) >= 0.6 and eff <= 1.05
                     and max(steal_fracs) < 0.05
+                    # fault-bandwidth channel: all four boundary probes
+                    # must clear the throttled band (healthy GiB/s vs
+                    # throttled ~6-150 MiB/s; orthogonal to cpu burns)
+                    and min(leg.get(k) or 0.0 for leg in (hi, lo)
+                            for k in ("fault_bw", "fault_bw_end"))
+                    >= FAULT_BW_MIN
                 ),
                 **obs,
             }
