@@ -428,6 +428,10 @@ def _agg_burn_rate(nproc: int = 4, seconds: float = 1.2) -> float:
 FAULT_BW_MIN = float(os.environ.get("SPARK_GRAFT_FAULT_BW_MIN", "300"))
 
 
+class _WindowCollapse(Exception):
+    """A scaling leg was killed because the host window closed mid-leg."""
+
+
 def _fault_bandwidth(mb: int = 24, budget_sec: float = 1.5) -> float:
     """First-touch bandwidth (MiB/s) of fresh anonymous pages, measured
     page-stride in-process; aborts at ``budget_sec`` (touched/elapsed is
@@ -913,10 +917,39 @@ def _run_scaling(queries, result, emit):
                str(cores), SCALE_PATH]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(
+        # Popen + watchdog instead of a blocking run(timeout=...): a leg
+        # admitted into a window that then closes runs 5-20x its clean
+        # wall and is disqualified downstream anyway — killing it after
+        # three consecutive deep-throttle probes (over ~75 s) returns the
+        # budget to the window lottery instead of burning the full leg
+        # timeout on known junk. start_new_session so the kill reaps the
+        # taskset->python->JVM tree (run(timeout=) orphaned the JVM).
+        proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, cwd=REPO, timeout=SCALE_LEG_TIMEOUT)
-        leg = json.loads(proc.stdout.strip().splitlines()[-1])
+            text=True, cwd=REPO, start_new_session=True)
+        t0 = time.time()
+        bad_streak = 0
+        deep_floor = HEALTH_MIN * 0.4
+        while True:
+            try:
+                out, _ = proc.communicate(timeout=25)
+                break
+            except subprocess.TimeoutExpired:
+                if time.time() - t0 > SCALE_LEG_TIMEOUT:
+                    os.killpg(proc.pid, 9)
+                    proc.communicate()
+                    raise
+                if time.time() - t0 > 60:
+                    bad_streak = (bad_streak + 1
+                                  if _burn_rate(0.8) < deep_floor else 0)
+                    if bad_streak >= 3:
+                        os.killpg(proc.pid, 9)
+                        proc.communicate()
+                        raise _WindowCollapse(
+                            f"leg local[{cores}] killed after "
+                            f"{round(time.time() - t0)} s: host grant "
+                            f"collapsed mid-leg")
+        leg = json.loads(out.strip().splitlines()[-1])
         prev = scaling.get(f"local[{cores}]")
         if prev is None or leg["wall_sec"] < prev["wall_sec"]:
             scaling[f"local[{cores}]"] = leg
@@ -1063,7 +1096,7 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
             pair["proto"] = SCALE_PROTO
             pairs.append(pair)
             _cache_pair(pair)
-        except (subprocess.TimeoutExpired, IndexError,
+        except (_WindowCollapse, subprocess.TimeoutExpired, IndexError,
                 json.JSONDecodeError) as e:
             result["scaling"][f"pair{rep}_error"] = type(e).__name__
         lo_best = scaling.get(f"local[{lo_c}]")
