@@ -229,6 +229,32 @@ def test_capped_merge_batch_bit_exact():
     assert len(c0) == 0 and len(d0) == 0
 
 
+def test_capped_merge_batch_scratch_reuse():
+    """The batch merge's per-worker scratch pool must not leak state
+    between calls: a small batch following a large one runs on a sliced
+    view of the big buffer (stale values beyond the slice), and varied
+    sketch_size changes the rank threshold per call."""
+    from mashspark.hashing import decode_signed
+
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        n = int(rng.integers(1, 40))
+        s = int(rng.integers(1, 50))
+        arrs_a, arrs_b = [], []
+        for _ in range(n):
+            la, lb = rng.integers(0, 60, size=2)
+            pool = rng.integers(-90, 90, size=200).astype(np.int64)
+            a = np.unique(pool[:120])[:la]
+            b = np.unique(pool[80:])[:lb]
+            arrs_a.append(np.sort(a))
+            arrs_b.append(np.sort(b))
+        common, denom = compare.capped_merge_sorted_batch(arrs_a, arrs_b, s)
+        for i in range(n):
+            exp = compare.capped_merge_sorted(
+                decode_signed(arrs_a[i]), decode_signed(arrs_b[i]), s)
+            assert (common[i], denom[i]) == exp, (trial, i, s)
+
+
 def test_identity_and_bounds():
     assert float(compare.identity(44, 1000, K)) == pytest.approx(0.861792, abs=1e-6)
     assert compare.error_bound(1000) == pytest.approx(0.0316227766)
