@@ -831,8 +831,12 @@ def _write_baseline_md(result: dict) -> None:
             # PAIR_CACHE comment) — ts is the measurement epoch
             lines.append(f"- cached pair {i}: {p}")
         if "efficiency" in sc:
-            gate = "PASS" if sc["efficiency"] >= 0.8 else "FAIL"
-            lines.append(f"- gate (>=0.8): **{gate}**")
+            # gate_pass is the honest verdict (best WINDOW-MATCHED pair
+            # >= 0.8); raw best efficiency alone can exceed 0.8 on a
+            # disqualified pair (one-sided throttle) and must not PASS
+            gate = "PASS" if sc.get("gate_pass") else "FAIL"
+            lines.append(f"- gate (>=0.8, window-matched pairs only): "
+                         f"**{gate}**")
     else:
         lines.append("- (scaling legs not yet complete)")
     lines += [
