@@ -933,26 +933,38 @@ def _run_scaling(queries, result, emit):
             text=True, cwd=REPO, start_new_session=True)
         t0 = time.time()
         bad_streak = 0
-        deep_floor = HEALTH_MIN * 0.4
+        # a window that degrades below 0.55x the admission threshold can
+        # no longer produce a burn-matched pair (matching needs >= 0.6),
+        # so the leg is junk the moment this is sustained
+        deep_floor = HEALTH_MIN * 0.55
+        # a leg running 3x its clean wall is junk regardless of probes
+        # (clean at 256k bases: low ~190 s, high ~65 s)
+        soft_timeout = float(os.environ.get(
+            "SPARK_GRAFT_SCALE_SOFT_TIMEOUT", "600"))
         while True:
             try:
                 out, _ = proc.communicate(timeout=25)
                 break
             except subprocess.TimeoutExpired:
-                if time.time() - t0 > SCALE_LEG_TIMEOUT:
+                elapsed = time.time() - t0
+                collapse = None
+                if elapsed > SCALE_LEG_TIMEOUT:
                     os.killpg(proc.pid, 9)
                     proc.communicate()
                     raise
-                if time.time() - t0 > 60:
+                if elapsed > soft_timeout:
+                    collapse = "exceeded soft timeout"
+                elif elapsed > 60:
                     bad_streak = (bad_streak + 1
                                   if _burn_rate(0.8) < deep_floor else 0)
                     if bad_streak >= 3:
-                        os.killpg(proc.pid, 9)
-                        proc.communicate()
-                        raise _WindowCollapse(
-                            f"leg local[{cores}] killed after "
-                            f"{round(time.time() - t0)} s: host grant "
-                            f"collapsed mid-leg")
+                        collapse = "host grant collapsed"
+                if collapse:
+                    os.killpg(proc.pid, 9)
+                    proc.communicate()
+                    raise _WindowCollapse(
+                        f"leg local[{cores}] killed after "
+                        f"{round(elapsed)} s: {collapse}")
         leg = json.loads(out.strip().splitlines()[-1])
         prev = scaling.get(f"local[{cores}]")
         if prev is None or leg["wall_sec"] < prev["wall_sec"]:
