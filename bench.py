@@ -77,10 +77,20 @@ SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1200"))
 # latency-bound collapse/LSH-join/count stage chain, ~10-14 s at BOTH
 # levels regardless of cores — is what bounds efficiency at small W, and
 # it amortizes to nothing at real scale (it is ~constant in stages, not
-# data). Passing 0.8 under a constant tail T needs W >= 22T: 256k bases
-# (~448k docs, W ~= 330 core-s) puts the model at ~0.84 with a ~50 s
-# high leg and ~3 min low leg — viable now that legs are clean.
-SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "256000"))
+# data). Passing 0.8 under a constant tail T needs W >= 22T.
+# Round-3 re-measurement AFTER the lean merge kernel + scratch-pool
+# work: tiny-corpus (3k bases) legs now run 3.26 s at 8 cores and
+# 9.3 s at 2 cores — two-point fit gives constant tail T ~= 1.25 s
+# (the old 10-14 s tail was mostly the allocation-heavy python stages,
+# now parallel). With T ~= 1.25 the model clears 0.9 from 48k bases up
+# (W ~= 90-250 core-s), and 48k legs (~12 s high / ~45 s low) are short
+# enough to fit inside this host's rare multi-minute clean windows —
+# which 100-230 s legs at 256k bases demonstrably never did (every v8
+# 256k pair window-collapsed or failed burn/steal admission). Smaller
+# corpus + short legs IS the protocol; the tail amortization argument
+# for real scale is carried by the T measurement above, not by making
+# the sandbox legs long.
+SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "48000"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -116,9 +126,15 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # clean pairs (eff 0.858 with steal~0 and matched burns). Verified with
 # tools/diag_worker_cpu.py: monitor_delta == snapshot_delta +-0.7% on a
 # leg whose workers survive the window.
+# Leg heap: right-sized to the scale corpus (the 48k timed job's working
+# set is ~1-2 GB; a 20g pretouched heap spends longer first-touching
+# pages at startup than the whole timed job runs, and startup landing in
+# a fault-bandwidth throttle window delays the leg past the good window
+# it was admitted into).
+SCALE_MEM = os.environ.get("SPARK_GRAFT_SCALE_MEM", "12g")
 SCALE_PROTO = (
     f"v8:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
-    f":shuffle=16:task.cpus=2:legs=fresh-jvm-20g-gcbarrier-pretouch"
+    f":shuffle=16:task.cpus=2:legs=fresh-jvm-{SCALE_MEM}-gcbarrier-pretouch"
     f":cpu=sampled-monitor"
 )
 
@@ -607,8 +623,7 @@ def _open_scale_session(cores: int):
     with the 2-thread GC of a narrow leg (see scale_run docstring)."""
     from mashspark.session import get_spark
 
-    os.environ["MASHSPARK_DRIVER_MEM"] = os.environ.get(
-        "SPARK_GRAFT_SCALE_MEM", "20g")
+    os.environ["MASHSPARK_DRIVER_MEM"] = SCALE_MEM
     # pre-touch the whole heap at startup (outside every timed window):
     # fresh guest pages are host-faulted on first touch in this sandbox,
     # and an 8-way allocation burst over a lazily-committed heap reads
