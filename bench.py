@@ -130,8 +130,12 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # set is ~1-2 GB; a 20g pretouched heap spends longer first-touching
 # pages at startup than the whole timed job runs, and startup landing in
 # a fault-bandwidth throttle window delays the leg past the good window
-# it was admitted into).
-SCALE_MEM = os.environ.get("SPARK_GRAFT_SCALE_MEM", "12g")
+# it was admitted into). 6g, not 12g: the pretouch itself consumes the
+# host's fault-bandwidth budget, and a pair pretouches two heaps back to
+# back — 24 GB of first-touch right before the high leg's timed window
+# is the likeliest reason every v8 high leg STARTED its timed run with
+# fault bandwidth already in the throttled band.
+SCALE_MEM = os.environ.get("SPARK_GRAFT_SCALE_MEM", "6g")
 SCALE_PROTO = (
     f"v8:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
     f":shuffle=16:task.cpus=2:legs=fresh-jvm-{SCALE_MEM}-gcbarrier-pretouch"
@@ -765,12 +769,21 @@ def scale_run(cores: int, path: str):
     # Two consecutive healthy probes buy the timed run its best shot at
     # a clean window; bounded, then proceed regardless — a dirty run is
     # disqualified downstream by the steal/conservation channels.
+    # BOTH channels, not just cpu burn: every v8 high leg that window-
+    # mismatched did so on fault bandwidth (74-254 MiB/s at timed start
+    # vs 800-1700 on the paired low leg) while its burn probe read
+    # healthy — the two throttle modes are independent on this host, and
+    # this leg just faulted a whole pretouched heap + warm-up, i.e. the
+    # leg itself drains the fault budget right before the timed window.
     floor = float(os.environ.get("SPARK_GRAFT_LEG_BURN_FLOOR", "10.0"))
+    fbw_floor = float(
+        os.environ.get("SPARK_GRAFT_LEG_FBW_FLOOR", str(FAULT_BW_MIN)))
     deadline = time.time() + float(
-        os.environ.get("SPARK_GRAFT_LEG_PRE_WAIT", "150"))
+        os.environ.get("SPARK_GRAFT_LEG_PRE_WAIT", "240"))
     good_streak = 0
     while time.time() < deadline and good_streak < 2:
-        good_streak = good_streak + 1 if _burn_rate(1.0) >= floor else 0
+        ok = _burn_rate(1.0) >= floor and _fault_bandwidth() >= fbw_floor
+        good_streak = good_streak + 1 if ok else 0
         if good_streak < 2:
             time.sleep(8.0)
     print(json.dumps(_timed_scale_job(spark, docs, cfg, cores, n_docs)))
