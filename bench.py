@@ -82,15 +82,19 @@ SCALE_LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1200"))
 # work: tiny-corpus (3k bases) legs now run 3.26 s at 8 cores and
 # 9.3 s at 2 cores — two-point fit gives constant tail T ~= 1.25 s
 # (the old 10-14 s tail was mostly the allocation-heavy python stages,
-# now parallel). With T ~= 1.25 the model clears 0.9 from 48k bases up
-# (W ~= 90-250 core-s), and 48k legs (~12 s high / ~45 s low) are short
-# enough to fit inside this host's rare multi-minute clean windows —
-# which 100-230 s legs at 256k bases demonstrably never did (every v8
-# 256k pair window-collapsed or failed burn/steal admission). Smaller
-# corpus + short legs IS the protocol; the tail amortization argument
-# for real scale is carried by the T measurement above, not by making
-# the sandbox legs long.
-SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "48000"))
+# now parallel). That model predicted 0.9 from 48k bases up; MEASURED
+# clean v8 48k pairs (6g legs, window-matched, conservation 0.83-0.97)
+# cap at 0.69-0.73 instead. The event-log stage anatomy
+# (tools/diag_scale_stages.py, BENCH/SCALING_NOTES_r03.md) explains the
+# gap: the true serial tax is ~2.5-3 s per leg (zero-task driver gaps
+# between the 5 actions + per-stage latency of ~14 small stages), i.e.
+# ~28% of a 9 s high leg vs ~8% of a 30 s low leg — the two-point fit
+# under-counts it because half of it scales with STAGE COUNT, not data.
+# 128k bases quarters the tax share (high ~20 s, low ~75 s) while
+# keeping a full pair ~2.5 min of in-window time — between 48k (clean
+# pairs land readily but cap below gate) and 256k (one clean 0.858
+# pair ever; 100-230 s legs rarely fit a window).
+SCALE_BASES = int(os.environ.get("SPARK_GRAFT_SCALE_BASES", "128000"))
 WEBTEXT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_WEBTEXT", f"/tmp/mashspark_bench_webtext_{N_BASE}"
 )
@@ -135,7 +139,13 @@ PAIR_CACHE = os.path.join(REPO, "BENCH", "scale_pairs.jsonl")
 # back — 24 GB of first-touch right before the high leg's timed window
 # is the likeliest reason every v8 high leg STARTED its timed run with
 # fault bandwidth already in the throttled band.
-SCALE_MEM = os.environ.get("SPARK_GRAFT_SCALE_MEM", "6g")
+# 8g at 128k bases (~224k docs, ~3-5 GB working set): same right-sizing
+# logic as the 6g/48k legs — big enough that the timed job never GCs
+# hard, small enough that a pair's two back-to-back heap pretouches
+# (16 GB) don't drain the host's fault-bandwidth budget the way the
+# 20g legs' 40 GB did.
+SCALE_MEM = os.environ.get(
+    "SPARK_GRAFT_SCALE_MEM", "8g" if SCALE_BASES >= 100_000 else "6g")
 SCALE_PROTO = (
     f"v8:job=sketch+lsh-eager:bases={SCALE_BASES}:low={SCALE_LOW}"
     f":shuffle=16:task.cpus=2:legs=fresh-jvm-{SCALE_MEM}-gcbarrier-pretouch"

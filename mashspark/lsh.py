@@ -88,10 +88,18 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
         hot_keys.filter(F.col("bucket_n") <= hard_bucket_cap), "band_key", "left_semi"
     )
 
-    # --- cold path: plain self-join per bucket (AQE splits residual skew)
+    # --- cold path: plain self-join per bucket (AQE splits residual skew).
+    # SHUFFLE_HASH hint on the self-join: both sides are the O(corpus)
+    # band relation, so a broadcast is never the right plan — but at
+    # bench scale the relation slips under autoBroadcastJoinThreshold
+    # and AQE picks BroadcastHashJoin, whose HashedRelation build is
+    # SERIAL DRIVER time (measured: a 4.5 s zero-task gap at 224k docs,
+    # the single largest serial cost in the timed scaling job; it taxes
+    # a short high-parallelism leg ~3x harder than the long low leg).
+    # The hint keeps the join shuffled-and-parallel at every scale.
     left = cold.withColumnRenamed("doc_id", "id_a")
     right = cold.withColumnRenamed("doc_id", "id_b")
-    cold_pairs = left.join(right, ["band_key"]).filter(
+    cold_pairs = left.hint("shuffle_hash").join(right, ["band_key"]).filter(
         F.col("id_a") < F.col("id_b")
     )
 
