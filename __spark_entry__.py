@@ -212,6 +212,20 @@ def _q_knn_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def _q_ivf_knn(spark, sf_dir):
+    """IVF-flat ANN with a FIXED coarse quantizer (n_iters=0: centroids
+    are the embeddings of the 8 smallest vec_ids), nprobe=3 of 8 lists —
+    deterministic end-to-end, so DuckDB replays assignment, probing and
+    in-list ranking exactly. The Lloyd-refined quantizer path is covered
+    by the pytest recall gate (iterative k-means is not SQL)."""
+    from mashspark.ann import ivf_search, ivf_train
+
+    vecs = _emb(spark, sf_dir)
+    cent = ivf_train(vecs, n_lists=8, n_iters=0)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    return ivf_search(vecs, queries, cent, top_k=5, nprobe=3)
+
+
 # --- MinHash / SimHash / SRP operators (not SQL-expressible: murmur3) ---
 
 
@@ -587,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_pred": _q_lang_id_pred,
         "fingerprint_group_sizes": _q_fingerprint_group_sizes,
         "knn_topk": _q_knn_topk,
+        "ivf_knn": _q_ivf_knn,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -862,6 +877,63 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(q.embedding, v.embedding) AS cos_sim
                 FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
                 WHERE q.vec_id < 20
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # IVF-flat with the fixed quantizer: centroids are the embeddings
+        # of the 8 smallest vec_ids (list_id = position in id order);
+        # assignment and probing both rank by cosine with ties to the
+        # lower list id, exactly as make_ivf_assign_udf/make_ivf_probe_udf
+        "ivf_knn": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                       embedding
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+                SELECT vec_id, list_id FROM (
+                    SELECT v.vec_id, c.list_id,
+                           row_number() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   v.embedding, c.embedding) DESC,
+                               c.list_id ASC
+                           ) AS rn
+                    FROM embeddings v CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT query_id, list_id FROM (
+                    SELECT q.vec_id AS query_id, c.list_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   q.embedding, c.embedding) DESC,
+                               c.list_id ASC
+                           ) AS rn
+                    FROM embeddings q CROSS JOIN cent c
+                    WHERE q.vec_id < 20
+                ) WHERE rn <= 3
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, v.embedding)
+                           AS cos_sim
+                FROM probes p
+                JOIN assign a ON a.list_id = p.list_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN embeddings v ON v.vec_id = a.vec_id
+                WHERE a.vec_id != p.query_id
             ),
             ranked AS (
                 SELECT query_id, neighbor_id,

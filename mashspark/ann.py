@@ -150,3 +150,175 @@ def embedding_dup_pairs(vectors: DataFrame, min_cos: float = 0.95,
         .filter(F.col("cos_sim") >= min_cos)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+# FAISS-style IVF-flat re-expressed for Spark: a small coarse quantizer
+# (k centroids, trained by spherical Lloyd iterations, each iteration one
+# map-only assignment pass + a partials-only combine) partitions the
+# corpus into inverted lists; a search probes only the ``nprobe`` lists
+# whose centroids are nearest the query, so the scored fraction is
+# ~nprobe/n_lists of the corpus instead of all of it. The quantizer is
+# tiny by design (n_lists x dim floats) and lives in UDF closures — the
+# corpus itself never leaves the executors.
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _stack_f64(vecs: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """list_id (int64) of each embedding's nearest centroid by cosine.
+
+    Ties break to the LOWEST list id (``argmax`` returns the first
+    maximum), matching the oracle's ``ORDER BY cos DESC, list_id ASC``.
+    Cosine is norm-invariant in the centroid, so the quantizer rows are
+    pre-normalized once here and the per-batch work is one matmul.
+    """
+    cent = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf(LongType())
+    def ivf_assign_udf(vecs: pd.Series) -> pd.Series:
+        sims = _normalize_rows(_stack_f64(vecs)) @ cent.T
+        return pd.Series(sims.argmax(axis=1).astype(np.int64))
+
+    return ivf_assign_udf
+
+
+def ivf_train(vectors: DataFrame, n_lists: int = 16, n_iters: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_mod: int | None = None) -> np.ndarray:
+    """Train the coarse quantizer: spherical k-means over the corpus.
+
+    Deterministic init — the embeddings of the ``n_lists`` smallest ids
+    (SQL-expressible, so the ``n_iters=0`` fixed quantizer is fully
+    oracle-checkable). Each Lloyd iteration is ONE pass over the data:
+    ``mapInPandas`` assigns every row to its nearest centroid and emits
+    only per-partition partial sums (n_partitions x n_lists rows of dim
+    doubles), which the driver combines — no row-level shuffle, and the
+    collected partials are O(partitions x n_lists x dim), independent of
+    corpus size. Empty lists keep their previous centroid (as FAISS
+    does). ``sample_mod=m`` trains on the deterministic 1/m id-hash
+    sample (quantizer quality needs a sample, not the corpus).
+    """
+    from pyspark.sql.types import (DoubleType, StructField, StructType,
+                                   IntegerType)
+
+    base = vectors.select(F.col(vec_col).alias("vec"))
+    if sample_mod and sample_mod > 1:
+        base = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        ).select(F.col(vec_col).alias("vec"))
+
+    init = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("vec"))
+        .orderBy("i").limit(n_lists).collect()
+    )
+    if len(init) < n_lists:
+        raise ValueError(f"need >= {n_lists} vectors to seed the quantizer")
+    cent = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
+
+    partial_schema = StructType([
+        StructField("list_id", IntegerType()),
+        StructField("count", DoubleType()),
+        StructField("sums", ArrayType(DoubleType())),
+    ])
+
+    for _ in range(max(0, n_iters)):
+        cn = _normalize_rows(cent)
+        k, dim = cn.shape
+
+        def partial_sums(batches, _cn=cn, _k=k, _dim=dim):
+            sums = np.zeros((_k, _dim))
+            counts = np.zeros(_k)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _stack_f64(pdf["vec"])
+                assign = (_normalize_rows(mat) @ _cn.T).argmax(axis=1)
+                np.add.at(sums, assign, _normalize_rows(mat))
+                np.add.at(counts, assign, 1.0)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame({
+                "list_id": nz.astype(np.int32),
+                "count": counts[nz],
+                "sums": [sums[i] for i in nz],
+            })
+
+        parts = base.mapInPandas(partial_sums, schema=partial_schema).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in parts:
+            sums[r["list_id"]] += np.asarray(r["sums"])
+            counts[r["list_id"]] += r["count"]
+        nz = counts > 0
+        cent[nz] = _normalize_rows(sums[nz] / counts[nz, None])
+    return cent
+
+
+def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """array<long> of the ``nprobe`` list ids nearest each query vector
+    (cosine, ties to the lower list id) — the probe set of an IVF search."""
+    cent = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, cent.shape[0])
+
+    @pandas_udf(ArrayType(LongType()))
+    def ivf_probe_udf(vecs: pd.Series) -> pd.Series:
+        sims = _normalize_rows(_stack_f64(vecs)) @ cent.T
+        # stable argsort on -sims: descending cosine, ascending list id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return ivf_probe_udf
+
+
+def ivf_search(vectors: DataFrame, queries: DataFrame, centroids: np.ndarray,
+               top_k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k cosine neighbors through the IVF index.
+
+    The corpus is assigned to inverted lists with one map-only pass
+    (quantizer in the UDF closure); each query probes its ``nprobe``
+    nearest lists, and only corpus rows in probed lists are scored —
+    an equi-join on ``list_id`` does the pruning, so the exact-scoring
+    volume is ~nprobe/n_lists of a brute-force scan. Queries are assumed
+    small and are broadcast. Output: (query_id, neighbor_id, rank) with
+    self-matches excluded; rank ties break on ascending neighbor id.
+    """
+    assign = make_ivf_assign_udf(centroids)
+    probe = make_ivf_probe_udf(centroids, nprobe)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _cos_expr(
+                F.col("qvec").cast("array<double>"),
+                F.col("nvec").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )

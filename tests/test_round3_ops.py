@@ -167,3 +167,105 @@ def test_extract_text_handles_markup(spark):
     # &amp;lt; decodes to the literal text "&lt;" (no double decode)
     assert got[1] == "Title hello world a &lt; b & c <tag>"
     assert got[2] == "plain text no markup"
+
+
+# --- IVF ANN (coarse-quantizer scale path) ---
+
+
+def _synth_embeddings(spark, n_clusters=6, per_cluster=40, dim=32, seed=3):
+    """Clustered unit vectors: n_clusters well-separated directions with
+    small within-cluster noise, so true neighbors share a cluster."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + 0.08 * rng.standard_normal((per_cluster, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for p in pts:
+            rows.append((vid, [float(x) for x in p], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivf_train_converges_and_is_deterministic(spark):
+    """Lloyd iterations must strictly improve (or hold) mean max-cosine to
+    the quantizer, and two trainings of the same input must be identical
+    (deterministic init + deterministic partials combine)."""
+    from mashspark.ann import _normalize_rows, ivf_train
+
+    vecs = _synth_embeddings(spark)
+    mat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64)
+         for r in vecs.orderBy("vec_id").collect()]
+    )
+    mat = _normalize_rows(mat)
+
+    def quality(cent):
+        return (mat @ _normalize_rows(cent).T).max(axis=1).mean()
+
+    c0 = ivf_train(vecs, n_lists=6, n_iters=0)
+    c5 = ivf_train(vecs, n_lists=6, n_iters=5)
+    assert quality(c5) >= quality(c0) - 1e-12
+    c5b = ivf_train(vecs, n_lists=6, n_iters=5)
+    np.testing.assert_allclose(c5, c5b, rtol=0, atol=0)
+
+
+def test_ivf_search_recall_vs_bruteforce(spark):
+    """Trained quantizer + nprobe=2 of 6 lists must recover >=95% of the
+    exact top-5 on the clustered corpus (neighbors share the query's
+    cluster, which a converged quantizer maps to one probed list); with
+    nprobe = n_lists the probe set is everything, so IVF must equal
+    brute force EXACTLY."""
+    from mashspark.ann import ivf_search, ivf_train, knn_bruteforce
+
+    vecs = _synth_embeddings(spark)
+    queries = vecs.filter(F.col("vec_id") % 17 == 0)
+    cent = ivf_train(vecs, n_lists=6, n_iters=5)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(vecs, queries, top_k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(vecs, queries, cent, top_k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"IVF nprobe=2 recall {recall:.3f}"
+
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_search(vecs, queries, cent, top_k=5, nprobe=6).collect()
+    }
+    exact_ranked = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_bruteforce(vecs, queries, top_k=5).collect()
+    }
+    assert full == exact_ranked
+
+
+def test_ivf_assignment_prunes_scored_fraction(spark):
+    """The list_id equi-join IS the pruning: with nprobe=2 of 6 lists on
+    a balanced corpus, the scored candidate volume must be well under
+    half of brute force's (the 100 TB argument, measured)."""
+    from mashspark.ann import (ivf_train, make_ivf_assign_udf,
+                               make_ivf_probe_udf)
+
+    vecs = _synth_embeddings(spark)
+    cent = ivf_train(vecs, n_lists=6, n_iters=5)
+    n = vecs.count()
+    assign = make_ivf_assign_udf(cent)
+    probe = make_ivf_probe_udf(cent, 2)
+    v = vecs.select("vec_id", assign(F.col("embedding")).alias("list_id"))
+    q = (
+        vecs.filter(F.col("vec_id") % 17 == 0)
+        .select(F.col("vec_id").alias("qid"),
+                F.explode(probe(F.col("embedding"))).alias("list_id"))
+    )
+    n_queries = vecs.filter(F.col("vec_id") % 17 == 0).count()
+    scored = v.join(q, "list_id").count()
+    assert scored < 0.5 * n * n_queries
