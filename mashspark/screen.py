@@ -102,7 +102,9 @@ def make_screen_pvalue_udf(kmer_space: float, set_size: int):
         out[sh == 0] = 1.0
         return pd.Series(out)
 
-    return screen_pvalue_udf
+    # single-eval guard: without this the -v filter is planned between
+    # two copies of the tail evaluation (see verify.make_verify_udf)
+    return screen_pvalue_udf.asNondeterministic()
 
 
 def screen(refs_sketches: DataFrame, mixture_docs: DataFrame,

@@ -49,7 +49,13 @@ def make_verify_udf(sketch_size: int):
         common, denom = capped_merge_sorted_batch(arrs_a, arrs_b, sketch_size)
         return pd.DataFrame({"common": common, "denom": denom})
 
-    return verify_udf
+    # The merge IS deterministic; the flag only forbids Catalyst from
+    # duplicating the call. Without it, a downstream filter on a derived
+    # column (jaccard >= t) is planned as Filter BETWEEN two ArrowEval
+    # copies of the same UDF — every pair was merged twice (measured:
+    # two ArrowEvalPython nodes over identical inputs in the verify plan,
+    # doubling the dominant python cost of the q3 pipeline).
+    return verify_udf.asNondeterministic()
 
 
 def make_contain_udf():
@@ -84,7 +90,8 @@ def make_contain_udf():
         common, _denom = capped_merge_sorted_batch(refs, trimmed, 1 << 30)
         return pd.DataFrame({"common": common, "used": used})
 
-    return contain_udf
+    # single-eval guard: see make_verify_udf
+    return contain_udf.asNondeterministic()
 
 
 def contain_pairs(cands: DataFrame, sketches: DataFrame,
@@ -133,7 +140,9 @@ def make_pvalue_udf(kmer_space: float, sketch_size: int):
         out[c == 0] = 1.0
         return pd.Series(out)
 
-    return pvalue_udf
+    # single-eval guard (a max_pvalue filter would otherwise re-run the
+    # tail computation): see make_verify_udf
+    return pvalue_udf.asNondeterministic()
 
 
 def _attach(cands: DataFrame, sk: DataFrame, id_col: str, suffix: str,
@@ -143,7 +152,16 @@ def _attach(cands: DataFrame, sk: DataFrame, id_col: str, suffix: str,
         payload_col.alias(f"sketch_{suffix}"),
         F.col("card_est").alias(f"card_{suffix}"),
     )
-    return cands.join(side, id_col)
+    # shuffle_hash, build side = the skinny pair relation: without the
+    # hint AQE broadcasts the (fat, semi-joined) SKETCH side onto the
+    # pair relation, so the downstream Arrow-UDF stage inherits the pair
+    # relation's partitioning — which AQE coalesces to ~minPartitionSize
+    # because pairs are 16 B/row (measured: the s=1000 merge UDF ran
+    # 4-wide on 16 slots, 75 s of the 113 s verify wall; plus the driver
+    # serially built 2x ~300 MB broadcasts). The shuffled-hash join lands
+    # both sides on the configured shuffle width, the UDF runs at full
+    # slot parallelism, and no fat-row sort or driver broadcast happens.
+    return cands.hint("shuffle_hash").join(side, id_col)
 
 
 def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,

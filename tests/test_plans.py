@@ -175,3 +175,60 @@ def test_no_cartesian_blowup_in_candidate_families(spark, docs_parquet):
     for name, p in plans.items():
         assert "CartesianProduct" not in p, (name, p)
         assert "BroadcastNestedLoopJoin" not in p, (name, p)
+
+
+def _duplicated_udf_calls(plan: str) -> dict:
+    """Python-UDF invocation signatures (name + argument exprIds) that
+    appear in MORE THAN ONE ArrowEvalPython/BatchEvalPython node of a
+    formatted plan. Catalyst clones a UDF call when a filter on derived
+    columns is planned between two copies of the evaluation — every row
+    then pays the python cost twice (measured 2x on the verify tier of
+    the dedup pipeline before the asNondeterministic single-eval guards).
+    """
+    import re
+
+    calls: dict = {}
+    for m in re.finditer(r"\((\d+)\) (?:Arrow|Batch)EvalPython\s*\n"
+                         r"(?:.*\n)*?Arguments: \[([^\]]*)\]", plan):
+        node_id, args = m.groups()
+        for call in re.finditer(r"(\w+)\(([^()]*)\)#\d+", args):
+            sig = f"{call.group(1)}({call.group(2)})"
+            calls.setdefault(sig, set()).add(node_id)
+    return {sig: nodes for sig, nodes in calls.items() if len(nodes) > 1}
+
+
+def test_no_duplicated_udf_evaluation(spark, docs_parquet):
+    """Single-eval audit over every operator whose plan chains a python
+    UDF into a derived-column filter: each UDF invocation signature must
+    appear in exactly one eval node."""
+    from mashspark.screen import screen
+    from mashspark.substring import substring_dup_spans
+    from mashspark.verify import contain_pairs, verify_pairs
+
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSH)
+    ids = sk.select("doc_id")
+    cands = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .limit(100)
+    )
+    plans = {
+        "verify+pvalue": plan_of(verify_pairs(
+            cands, sk, PARAMS, jaccard_threshold=0.5, max_pvalue=1e-5,
+            prefix_filter=None)),
+        "verify+prefix": plan_of(verify_pairs(
+            cands, sk, PARAMS, jaccard_threshold=0.5, prefix_filter=16,
+            materialize_tier1=False)),
+        "contain": plan_of(contain_pairs(cands, sk, PARAMS)),
+        "screen": plan_of(screen(
+            sketch_documents(docs.filter(F.col("doc_id") < 20), PARAMS, LSH),
+            docs, PARAMS, max_pvalue=1e-5, identity_min=0.8)),
+        "substring": plan_of(substring_dup_spans(
+            docs, min_len=24, stride=4)[0]),
+        "sketch": plan_of(sketch_documents(docs, PARAMS, LSH)),
+    }
+    bad = {name: dups for name, p in plans.items()
+           if (dups := _duplicated_udf_calls(p))}
+    assert not bad, f"duplicated python-UDF evaluation: {bad}"
