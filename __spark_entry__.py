@@ -144,6 +144,52 @@ def _q_shingle_cardinality(spark, sf_dir):
     return shingle_cardinality(d, k=21)
 
 
+def _lined_docs(spark, sf_dir):
+    """Deterministic multi-line view of the documents table: the fixture
+    text has no newlines, so line-level operators would be vacuous on it
+    (the round-2 lesson: a green that cannot fail is not evidence). Every
+    ' table ' occurrence becomes a line break — replay-identical in the
+    DuckDB oracle via replace(text, ' table ', chr(10))."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text"),
+    )
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style intra-doc duplicate-line signals. Self-seeded: the
+    doc's FIRST line is appended again, so every doc has >=1 duplicated
+    line and the fractions are non-trivially non-zero (the oracle seeds
+    identically)."""
+    from mashspark.repetition import repetition_signals
+
+    lined = _lined_docs(spark, sf_dir)
+    seeded = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.element_at(F.split(F.col("text"), "\n"), 1),
+        ).alias("text"),
+    )
+    return repetition_signals(seeded)
+
+
+def _q_top_ngram_stats(spark, sf_dir):
+    """Gopher top-bigram stats (most frequent word 2-gram coverage)."""
+    from mashspark.repetition import top_ngram_stats
+
+    return top_ngram_stats(_docs(spark, sf_dir), n=2)
+
+
+def _q_line_dedup_cleaned(spark, sf_dir):
+    """CCNet-style boilerplate-line removal at min_docs=2 over the lined
+    view (69 of 1268 distinct lines are shared by >=2 docs at sf0.01, so
+    the cleaned texts genuinely differ from the inputs)."""
+    from mashspark.repetition import remove_boilerplate
+
+    return remove_boilerplate(_lined_docs(spark, sf_dir), min_docs=2)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     d = (
         _docs(spark, sf_dir)
@@ -602,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_group_sizes": _q_fingerprint_group_sizes,
         "knn_topk": _q_knn_topk,
         "ivf_knn": _q_ivf_knn,
+        "repetition_signals": _q_repetition_signals,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "line_dedup_cleaned": _q_line_dedup_cleaned,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -945,6 +994,115 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # lined view: every ' table ' becomes a newline; self-seed by
+        # re-appending the first line (mirrors _q_repetition_signals).
+        # Nested list lambdas reproduce the Spark array exprs exactly.
+        "repetition_signals": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       replace(text, ' table ', chr(10)) AS t
+                FROM documents
+            ),
+            seeded AS (
+                SELECT doc_id,
+                       string_split(
+                           t || chr(10) || string_split(t, chr(10))[1],
+                           chr(10)) AS l
+                FROM lined
+            ),
+            s AS (
+                SELECT doc_id, len(l) AS n_lines,
+                       len(list_filter(l, x ->
+                           len(list_filter(l, y -> y = x)) > 1)) AS n_dup,
+                       coalesce(list_sum(list_transform(
+                           list_filter(l, x ->
+                               len(list_filter(l, y -> y = x)) > 1),
+                           x -> strlen(x))), 0) AS dup_chars,
+                       coalesce(list_sum(list_transform(
+                           l, x -> strlen(x))), 0) AS all_chars
+                FROM seeded
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_dup AS BIGINT) AS n_dup_lines,
+                   round(n_dup / greatest(n_lines, 1), 6) AS dup_line_frac,
+                   round(dup_chars / greatest(all_chars, 1), 6)
+                       AS dup_line_char_frac
+            FROM s
+        """,
+        # word bigrams via list indexing + generate_series (whitespace-run
+        # tokenization matches the UDF's str.split())
+        "top_ngram_stats": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE string_split_regex(trim(text), '\s+')
+                       END AS w
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, u.word, u.pos
+                FROM words,
+                     LATERAL (
+                         SELECT unnest(w) AS word,
+                                generate_subscripts(w, 1) AS pos
+                     ) AS u
+            ),
+            grams AS (
+                SELECT a.doc_id, a.word || ' ' || b.word AS g
+                FROM tok a
+                JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            counts AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM grams GROUP BY doc_id, g
+            ),
+            agg AS (
+                SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top
+                FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(a.top, 0) AS BIGINT) AS top_ngram_count
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # CCNet line dedup oracle: exact line strings stand in for the
+        # engine's xxhash64 keys (identical absent 64-bit collisions)
+        "line_dedup_cleaned": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       replace(text, ' table ', chr(10)) AS t
+                FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id, u.line, u.pos
+                FROM lined,
+                     LATERAL (
+                         SELECT unnest(string_split(t, chr(10))) AS line,
+                                generate_subscripts(
+                                    string_split(t, chr(10)), 1) AS pos
+                     ) AS u
+            ),
+            freq AS (
+                SELECT line
+                FROM (SELECT DISTINCT doc_id, line FROM exploded)
+                GROUP BY line HAVING count(*) >= 2
+            ),
+            kept AS (
+                SELECT e.doc_id, e.line, e.pos
+                FROM exploded e ANTI JOIN freq f ON e.line = f.line
+            ),
+            rebuilt AS (
+                SELECT doc_id, count(*) AS n_lines_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS cleaned
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(r.n_lines_kept, 0) AS BIGINT)
+                       AS n_lines_kept,
+                   coalesce(r.cleaned, '') AS cleaned
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         # independent DuckDB reimplementation of mashspark.urls'
         # canonicalization (fragment strip, scheme/host lowercase, www

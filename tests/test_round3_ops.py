@@ -269,3 +269,74 @@ def test_ivf_assignment_prunes_scored_fraction(spark):
     n_queries = vecs.filter(F.col("vec_id") % 17 == 0).count()
     scored = v.join(q, "list_id").count()
     assert scored < 0.5 * n * n_queries
+
+
+# --- repetition / line-dedup operators ---
+
+
+def test_repetition_signals_known_docs(spark):
+    """Hand-computed duplicate-line fractions, including the all-unique
+    and all-duplicate extremes and the empty doc."""
+    from mashspark.repetition import repetition_signals
+
+    rows = [
+        (1, "aa\nbb\ncc"),          # no dups
+        (2, "aa\nbb\naa"),          # 'aa' twice: 2 of 3 lines, 4 of 6 chars
+        (3, "xx\nxx\nxx"),          # everything duplicated
+        (4, ""),                    # one empty line, no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert (got[1].n_lines, got[1].n_dup_lines, got[1].dup_line_frac) == (3, 0, 0.0)
+    assert (got[2].n_lines, got[2].n_dup_lines) == (3, 2)
+    assert got[2].dup_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2].dup_line_char_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert (got[3].n_dup_lines, got[3].dup_line_frac) == (3, 1.0)
+    assert (got[4].n_lines, got[4].n_dup_lines) == (1, 0)
+
+
+def test_top_ngram_stats_known_docs(spark):
+    """Most-frequent bigram count: 'a b' occurs 3x in doc 1's 5 bigrams;
+    a doc with <2 words has zero bigrams."""
+    from mashspark.repetition import top_ngram_stats
+
+    rows = [(1, "a b a b c a b"), (2, "only"), (3, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in top_ngram_stats(df, n=2).collect()}
+    assert (got[1].n_ngrams, got[1].top_ngram_count) == (6, 3)
+    assert (got[2].n_ngrams, got[2].top_ngram_count) == (0, 0)
+    assert (got[3].n_ngrams, got[3].top_ngram_count) == (1, 1)
+
+
+def test_remove_boilerplate_strips_shared_lines(spark):
+    """Lines shared by >= min_docs distinct docs are stripped everywhere
+    (every copy, including intra-doc repeats); order of survivors is
+    preserved; a fully-boilerplate doc survives with cleaned=''."""
+    from mashspark.repetition import boilerplate_lines, remove_boilerplate
+
+    rows = [
+        (1, "NAV\nreal content one\nNAV\nFOOTER"),
+        (2, "NAV\nreal content two\nFOOTER"),
+        (3, "NAV\nFOOTER"),
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {r.line: r.n_docs for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert boiler == {"NAV": 3, "FOOTER": 3}
+    assert boilerplate_lines(df, min_docs=4).count() == 0
+    got = {r.doc_id: r for r in remove_boilerplate(df, min_docs=2).collect()}
+    assert got[1].cleaned == "real content one"
+    assert got[1].n_lines_kept == 1
+    assert got[2].cleaned == "real content two"
+    assert got[3].cleaned == "" and got[3].n_lines_kept == 0
+    assert got[4].cleaned == "unique only"
+
+
+def test_boilerplate_count_is_distinct_docs(spark):
+    """A line repeated many times INSIDE one doc counts that doc once."""
+    from mashspark.repetition import boilerplate_lines
+
+    rows = [(1, "x\nx\nx\nx"), (2, "x\ny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.line: r.n_docs for r in boilerplate_lines(df, min_docs=2).collect()}
+    assert got == {"x": 2}
