@@ -190,6 +190,36 @@ def _q_line_dedup_cleaned(spark, sf_dir):
     return remove_boilerplate(_lined_docs(spark, sf_dir), min_docs=2)
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counts (letter/digit/symbol run count)."""
+    from mashspark.textstats import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def _q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality filter over the SEEDED lined view (first line
+    re-appended, as in _q_repetition_signals, so dup-line rules see real
+    duplication). Thresholds are tuned to the fixture's measured feature
+    distributions so EVERY rule splits the corpus both ways (the
+    round-2 vacuity lesson): words 10-96 median 53 -> min 50; mean word
+    len 3.7-5.3 -> max 4.5; 'the' present in 373/500 -> 1 stopword hit."""
+    from mashspark.repetition import gopher_quality_flags
+
+    lined = _lined_docs(spark, sf_dir)
+    seeded = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.element_at(F.split(F.col("text"), "\n"), 1),
+        ).alias("text"),
+    )
+    return gopher_quality_flags(
+        seeded, min_words=50, max_mean_word_len=4.5, min_stopword_hits=1)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     d = (
         _docs(spark, sf_dir)
@@ -651,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "gopher_quality_flags": _q_gopher_quality_flags,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -1066,6 +1098,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
                    CAST(coalesce(a.top, 0) AS BIGINT) AS top_ngram_count
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        # Gopher A1 rules over the lined view; regexp_replace needs the
+        # 'g' flag in DuckDB to match Spark's replace-all semantics
+        "gopher_quality_flags": r"""
+            WITH lined0 AS (
+                SELECT doc_id,
+                       replace(text, ' table ', chr(10)) AS t0
+                FROM documents
+            ),
+            lined AS (
+                SELECT doc_id,
+                       t0 || chr(10) || string_split(t0, chr(10))[1] AS t
+                FROM lined0
+            ),
+            feats AS (
+                SELECT doc_id,
+                       CASE WHEN trim(t) = '' THEN 0
+                            ELSE len(string_split_regex(trim(t), '\s+'))
+                       END AS words,
+                       strlen(regexp_replace(t, '\s+', '', 'g')) AS wchars,
+                       string_split(t, chr(10)) AS l,
+                       strlen(t) - strlen(replace(t, '#', ''))
+                           + (strlen(t) - strlen(replace(t, '...', ''))) / 3
+                           AS n_symbols,
+                       ' ' || lower(t) || ' ' AS padded
+                FROM lined
+            ),
+            f2 AS (
+                SELECT doc_id, words, n_symbols, padded,
+                       wchars / greatest(words, 1) AS mean_wl,
+                       len(list_filter(l, x ->
+                           len(list_filter(l, y -> y = x)) > 1))
+                           / greatest(len(l), 1) AS dup_frac,
+                       coalesce(list_sum(list_transform(
+                           list_filter(l, x ->
+                               len(list_filter(l, y -> y = x)) > 1),
+                           x -> strlen(x))), 0)
+                           / greatest(coalesce(list_sum(list_transform(
+                               l, x -> strlen(x))), 0), 1) AS dup_char_frac,
+                       (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' be ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' have ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END
+                       ) AS stop_hits
+                FROM feats
+            )
+            SELECT doc_id,
+                   words >= 50 AND words <= 100000 AS word_count_ok,
+                   mean_wl >= 3.0 AND mean_wl <= 4.5 AS mean_word_len_ok,
+                   dup_frac <= 0.30 AS dup_line_frac_ok,
+                   dup_char_frac <= 0.20 AS dup_line_char_frac_ok,
+                   n_symbols / greatest(words, 1) <= 0.10 AS symbol_ratio_ok,
+                   stop_hits >= 1 AS stopwords_ok,
+                   (words >= 50 AND words <= 100000)
+                   AND (mean_wl >= 3.0 AND mean_wl <= 4.5)
+                   AND dup_frac <= 0.30 AND dup_char_frac <= 0.20
+                   AND n_symbols / greatest(words, 1) <= 0.10
+                   AND stop_hits >= 1 AS keep
+            FROM f2
         """,
         # CCNet line dedup oracle: exact line strings stand in for the
         # engine's xxhash64 keys (identical absent 64-bit collisions)

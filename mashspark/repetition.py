@@ -123,6 +123,75 @@ def _exploded_lines(df: DataFrame, id_col: str, text_col: str, sep: str):
     )
 
 
+# the 8 "must see at least 2" common words of the Gopher quality rule
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", sep: str = "\n",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_dup_line_frac: float = 0.30,
+                         max_dup_line_char_frac: float = 0.20,
+                         max_symbol_word_ratio: float = 0.10,
+                         min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021, A1) as one map-only
+    projection of pure column expressions: per-doc booleans for each
+    rule plus the conjunction ``keep``. No UDF, no shuffle — the filter
+    a 100 TB corpus runs FIRST, so it must be a plain codegen scan.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; duplicate-line fraction and
+    duplicate-line char fraction under their caps (the ``sep``-split
+    line signals of ``repetition_signals``); hash/ellipsis symbols per
+    word under ``max_symbol_word_ratio``; at least ``min_stopword_hits``
+    DISTINCT common words present.
+    """
+    c = F.col(text_col)
+    t = F.trim(c)
+    words = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+    safe_words = F.greatest(words, F.lit(1))
+    mean_wl = F.length(F.regexp_replace(c, r"\s+", "")) / safe_words
+    lines = _line_array(c, sep)
+    dups = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_frac = F.size(dups) / F.greatest(F.size(lines), F.lit(1))
+    dup_char_frac = chars(dups) / F.greatest(chars(lines), F.lit(1))
+    n_symbols = (
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit(""))))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    )
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    stop_hits = sum(
+        (F.when(padded.contains(f" {w} "), 1).otherwise(0)
+         for w in _GOPHER_STOPWORDS),
+        start=F.lit(0),
+    )
+    flags = {
+        "word_count_ok": (words >= min_words) & (words <= max_words),
+        "mean_word_len_ok": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "dup_line_frac_ok": dup_frac <= max_dup_line_frac,
+        "dup_line_char_frac_ok": dup_char_frac <= max_dup_line_char_frac,
+        "symbol_ratio_ok": (n_symbols / safe_words) <= max_symbol_word_ratio,
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def boilerplate_line_hashes(df: DataFrame, min_docs: int,
                             id_col: str = "doc_id", text_col: str = "text",
                             sep: str = "\n") -> DataFrame:

