@@ -1,0 +1,398 @@
+"""mash-parity command-line surface over the Spark engine.
+
+Mirrors the reference's command list (``src/mash/mash.cpp:23-37``):
+
+    python -m mashspark sketch   -o sketches.tbl docs.parquet
+    python -m mashspark dist     refs.tbl queries.tbl
+    python -m mashspark triangle docs.parquet
+    python -m mashspark screen   refs.tbl mixture.parquet
+    python -m mashspark contain  refs.tbl queries.tbl
+    python -m mashspark info     sketches.tbl
+    python -m mashspark paste    -o out.tbl a.tbl b.tbl
+    python -m mashspark bounds   -k 21 -s 1000
+    python -m mashspark dedup    -o outdir docs.parquet      (beyond the reference)
+
+Inputs are tables, not files-of-sequences: a *document table* is parquet
+with ``(doc_id|url, text)`` (the BASELINE input-hint shape); a *sketch
+table* is the committed bucket layout written by ``sketch``
+(``io.run_checkpointed`` manifest discipline — the .msh analog, with
+per-partition lineage + metrics and kill/resume safety). Every command
+that takes a sketch table also accepts a raw document table and sketches
+on the fly, as the reference commands accept fasta where .msh is
+expected (``CommandDistance.cpp:130-190``).
+
+Flags keep the reference letters where they exist: ``-k`` kmer, ``-s``
+sketch size, ``-S`` seed, ``-m`` min copies, ``-d`` max distance, ``-v``
+max p-value, ``-i`` min identity, ``-w`` winner-take-all, ``-E`` edge
+list, ``-b`` best-k hits.
+
+Output: with ``-o`` the result is written distributed (TSV part files /
+parquet); without it, rows are collected and printed as TSV to stdout
+(the reference prints to stdout — collecting is the small-N convenience
+path, not the scale path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import io as mio
+from .info import bounds_table, count_histogram, paste, sketch_cardinalities, sketch_json_dump
+from .params import LSHParams, PipelineConfig, SketchParams
+from .pipeline import dedup_pipeline
+from .screen import screen
+from .session import get_spark
+from .sketch import sketch_documents, sketch_documents_with_counts
+from .verify import best_k_hits, contain_pairs, cross_dist
+
+
+def _sketch_params(args) -> SketchParams:
+    return SketchParams(k=args.kmer, s=args.sketch_size, seed=args.seed,
+                        min_cov=getattr(args, "min_copies", 1))
+
+
+def load_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Document-table scan: parquet with (doc_id|url, text). A url-keyed
+    table (the input-hint shape) gets ``doc_id = xxhash64(url)`` — a
+    deterministic, cluster-stable id (no zipWithIndex scan)."""
+    df = spark.read.parquet(path)
+    if "text" not in df.columns:
+        raise SystemExit(f"{path}: no 'text' column (have {df.columns})")
+    if "doc_id" not in df.columns:
+        if "url" not in df.columns:
+            raise SystemExit(f"{path}: need a 'doc_id' or 'url' column")
+        df = df.withColumn("doc_id", F.xxhash64("url"))
+    return df
+
+
+def _is_sketch_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_manifest"))
+
+
+def load_or_sketch(spark: SparkSession, path: str, params: SketchParams,
+                   lsh: LSHParams) -> DataFrame:
+    """A committed sketch table loads with params enforcement
+    (Sketch.cpp:133-160 refuses mismatched files); anything else is a
+    document table sketched on the fly."""
+    if _is_sketch_table(path):
+        return mio.read_sketches(spark, path, params=params)
+    return sketch_documents(load_docs(spark, path), params, lsh)
+
+
+def _emit(df: DataFrame, out: str | None, tsv_writer=None) -> None:
+    """-o => distributed write; no -o => collect + TSV to stdout."""
+    if out:
+        if tsv_writer is not None:
+            tsv_writer(df, out)
+        else:
+            df.write.mode("overwrite").option("sep", "\t").option(
+                "header", "true").csv(out)
+        print(f"wrote {out}", file=sys.stderr)
+    else:
+        df.toPandas().to_csv(sys.stdout, sep="\t", index=False, header=False)
+
+
+# ---------------------------------------------------------------- commands
+
+def cmd_sketch(spark: SparkSession, args) -> int:
+    """mash sketch (CommandSketch.cpp): docs -> committed sketch table,
+    checkpoint/resume via the bucket manifest; -m counts multiplicities
+    through the reads-mode min-copy filter (MinHashHeap.cpp:96-118)."""
+    params = _sketch_params(args)
+    lsh = LSHParams()
+    docs = load_docs(spark, args.input)
+
+    if args.min_copies > 1 or args.counts:
+        def transform(part):
+            return sketch_documents_with_counts(part, params)
+    else:
+        def transform(part):
+            return sketch_documents(part, params, lsh)
+
+    mio.run_checkpointed(
+        spark, docs, args.output, transform,
+        n_buckets=args.buckets,
+        params_fingerprint=mio.params_fingerprint(params),
+        metrics_fn=mio.sketch_metrics,
+    )
+    ents = mio.committed_buckets(args.output)
+    n = sum(e["n_rows"] for e in ents.values())
+    print(f"sketched {n} docs into {len(ents)} committed buckets at "
+          f"{args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_dist(spark: SparkSession, args) -> int:
+    """mash dist (CommandDistance.cpp): every ref × query pair with
+    (distance, p-value, shared/denom); -d/-v filters; -b best-k hits per
+    query (the compiled-out find -b shape)."""
+    params = _sketch_params(args)
+    lsh = LSHParams()
+    ref = load_or_sketch(spark, args.reference, params, lsh)
+    qry = load_or_sketch(spark, args.query, params, lsh)
+    pairs = cross_dist(ref, qry, params, max_distance=args.max_dist,
+                       max_pvalue=args.max_pvalue, with_pvalue=True)
+    if args.best:
+        pairs = best_k_hits(pairs, args.best)
+    _emit(pairs, args.output, tsv_writer=mio.write_dist_tsv)
+    return 0
+
+
+def cmd_triangle(spark: SparkSession, args) -> int:
+    """mash triangle (CommandTriangle.cpp): self all-pairs; -E = edge
+    list (the scale format), default = lower-triangular Phylip matrix on
+    stdout (O(n^2) TEXT — a driver-side final artifact by design)."""
+    params = _sketch_params(args)
+    lsh = LSHParams()
+    sk = load_or_sketch(spark, args.input, params, lsh)
+    pairs = cross_dist(sk, sk, params, max_distance=args.max_dist,
+                       max_pvalue=args.max_pvalue, with_pvalue=True,
+                       upper_only=True)
+    if args.edges:
+        _emit(pairs, args.output, tsv_writer=mio.write_dist_tsv)
+    else:
+        ids = [r[0] for r in sk.select("doc_id").orderBy("doc_id").collect()]
+        text = mio.phylip_triangle(pairs, ids=ids)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(text)
+            print(f"wrote {args.output}", file=sys.stderr)
+        else:
+            sys.stdout.write(text)
+    return 0
+
+
+def cmd_screen(spark: SparkSession, args) -> int:
+    """mash screen (CommandScreen.cpp): containment of each ref sketch in
+    a raw mixture; -w winner-take-all, -i identity floor, -v p-value."""
+    params = _sketch_params(args)
+    lsh = LSHParams()
+    refs = load_or_sketch(spark, args.reference, params, lsh)
+    mixture = load_docs(spark, args.mixture)
+    hits = screen(refs, mixture, params,
+                  min_cov=args.min_copies,
+                  identity_min=args.min_identity,
+                  max_pvalue=args.max_pvalue,
+                  with_pvalue=args.max_pvalue is not None or args.pvalues,
+                  winner_take_all=args.winner_take_all)
+    _emit(hits, args.output)
+    return 0
+
+
+def cmd_contain(spark: SparkSession, args) -> int:
+    """mash contain / dist -C (CommandContain.cpp): containment score of
+    each query sketch within each ref sketch + error bound."""
+    params = _sketch_params(args)
+    lsh = LSHParams()
+    ref = load_or_sketch(spark, args.reference, params, lsh)
+    qry = load_or_sketch(spark, args.query, params, lsh)
+    cands = (ref.select(F.col("doc_id").alias("id_a"))
+             .crossJoin(qry.select(F.col("doc_id").alias("id_b"))))
+    both = ref.unionByName(qry, allowMissingColumns=True).dropDuplicates(["doc_id"])
+    out = contain_pairs(cands, both, params)
+    _emit(out, args.output)
+    return 0
+
+
+def cmd_info(spark: SparkSession, args) -> int:
+    """mash info (CommandInfo.cpp): header params + per-sketch rows;
+    -d = JSON dump (schema-1.0.0.json shape); -H = count histogram
+    (requires a counts sketch table, i.e. `sketch -m/--counts`)."""
+    ents = mio.committed_buckets(args.input)
+    if not ents:
+        raise SystemExit(f"{args.input}: not a committed sketch table")
+    fp = next(iter(ents.values())).get("params_fingerprint") or "{}"
+    pd_ = json.loads(fp)
+    params = SketchParams(**{k: int(v) for k, v in pd_.items()})
+    sk = mio.read_sketches(spark, args.input, params=params)
+    if args.dump:
+        for r in sketch_json_dump(sk, params).toLocalIterator():
+            sys.stdout.write(r["json"] + "\n")
+        return 0
+    if args.histogram:
+        if "counts" not in sk.columns:
+            raise SystemExit("histogram needs a counts table (sketch --counts)")
+        _emit(count_histogram(sk), args.output)
+        return 0
+    print(f"kmer\t{params.k}\nsketch_size\t{params.s}\nseed\t{params.seed}\n"
+          f"alphabet_size\t{params.alphabet_size}\nmin_cov\t{params.min_cov}\n"
+          f"buckets\t{len(ents)}")
+    _emit(sketch_cardinalities(sk, s=params.s), args.output)
+    return 0
+
+
+def cmd_paste(spark: SparkSession, args) -> int:
+    """mash paste (CommandPaste.cpp): union compatible sketch tables into
+    one committed table (compat enforced; Sketch.cpp:133-160)."""
+    tables, fps = [], set()
+    for p in args.inputs:
+        ents = mio.committed_buckets(p)
+        if ents:
+            fps.add(next(iter(ents.values())).get("params_fingerprint"))
+            tables.append(mio.read_sketches(spark, p))
+        else:
+            raise SystemExit(f"{p}: not a committed sketch table")
+    if len(fps) > 1:
+        raise SystemExit(f"incompatible sketch tables: {sorted(fps)}")
+    merged = paste(*tables)
+    mio.run_checkpointed(
+        spark, merged, args.output, lambda part: part,
+        n_buckets=args.buckets, params_fingerprint=fps.pop(),
+        metrics_fn=mio.sketch_metrics,
+    )
+    print(f"pasted {len(tables)} tables into {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_bounds(spark: SparkSession, args) -> int:
+    """mash bounds (CommandBounds.cpp): closed-form Mash-distance error
+    bounds at the given confidence for the configured sketch size."""
+    params = _sketch_params(args)
+    print(f"kmer\t{params.k}\nsketch_size\t{params.s}\nconfidence\t{args.prob}")
+    print("distance\tjaccard\terr_low\terr_high")
+    for row in bounds_table(params, prob=args.prob):
+        print(f"{row['distance']}\t{row['jaccard']:.6f}\t"
+              f"{row['err_low']:.6f}\t{row['err_high']:.6f}")
+    return 0
+
+
+def cmd_dedup(spark: SparkSession, args) -> int:
+    """The flagship webtext pipeline (beyond the reference): docs ->
+    near-dup pairs + connected-component cluster ids (sketch -> LSH ->
+    Mash-exact verify -> CC), outputs parquet + TSV + metrics JSON."""
+    params = _sketch_params(args)
+    cfg = PipelineConfig(sketch=params,
+                         jaccard_threshold=args.jaccard,
+                         max_distance=args.max_dist,
+                         max_pvalue=args.max_pvalue)
+    docs = load_docs(spark, args.input)
+    res = dedup_pipeline(docs, cfg)
+    res.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+    mio.write_dist_tsv(res.pairs, os.path.join(args.output, "pairs"))
+    metrics = {"n_docs": res.clusters.count(),
+               "n_pairs": res.pairs.count(),
+               "n_clusters": res.clusters.select("cluster_id").distinct().count(),
+               "lsh_metrics": res.lsh_metrics.collect()[0].asDict()}
+    spark.createDataFrame([(json.dumps(metrics),)], "metrics string") \
+        .coalesce(1).write.mode("overwrite").json(os.path.join(args.output, "metrics.json"))
+    res.release()
+    print(json.dumps(metrics), file=sys.stderr)
+    return 0
+
+
+# ----------------------------------------------------------------- parser
+
+def _add_sketch_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-k", "--kmer", type=int, default=21)
+    p.add_argument("-s", "--sketch-size", type=int, default=1000)
+    p.add_argument("-S", "--seed", type=int, default=42)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mashspark", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] cores (default: SPARK_GRAFT_CPUS or 32)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sketch", help="docs -> committed sketch table (resumable)")
+    _add_sketch_flags(p)
+    p.add_argument("-m", "--min-copies", type=int, default=1)
+    p.add_argument("--counts", action="store_true",
+                   help="keep per-hash multiplicities (coverage/histogram)")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("dist", help="all ref x query Mash distances")
+    _add_sketch_flags(p)
+    p.add_argument("-d", "--max-dist", type=float, default=None)
+    p.add_argument("-v", "--max-pvalue", type=float, default=None)
+    p.add_argument("-b", "--best", type=int, default=None,
+                   help="keep b best hits per query")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("reference")
+    p.add_argument("query")
+    p.set_defaults(fn=cmd_dist, min_copies=1)
+
+    p = sub.add_parser("triangle", help="self all-pairs: phylip matrix or -E edges")
+    _add_sketch_flags(p)
+    p.add_argument("-E", "--edges", action="store_true")
+    p.add_argument("-d", "--max-dist", type=float, default=None)
+    p.add_argument("-v", "--max-pvalue", type=float, default=None)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_triangle, min_copies=1)
+
+    p = sub.add_parser("screen", help="containment of refs in a raw mixture")
+    _add_sketch_flags(p)
+    p.add_argument("-m", "--min-copies", type=int, default=1)
+    p.add_argument("-i", "--min-identity", type=float, default=None)
+    p.add_argument("-v", "--max-pvalue", type=float, default=None)
+    p.add_argument("-p", "--pvalues", action="store_true",
+                   help="include the p-value column")
+    p.add_argument("-w", "--winner-take-all", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("reference")
+    p.add_argument("mixture")
+    p.set_defaults(fn=cmd_screen)
+
+    p = sub.add_parser("contain", help="containment of queries within refs")
+    _add_sketch_flags(p)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("reference")
+    p.add_argument("query")
+    p.set_defaults(fn=cmd_contain, min_copies=1)
+
+    p = sub.add_parser("info", help="sketch table header + cardinalities")
+    p.add_argument("-d", "--dump", action="store_true", help="JSON dump")
+    p.add_argument("-H", "--histogram", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("paste", help="union compatible sketch tables")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=cmd_paste)
+
+    p = sub.add_parser("bounds", help="Mash-distance error-bound table")
+    _add_sketch_flags(p)
+    p.add_argument("-p", "--prob", type=float, default=0.99)
+    p.set_defaults(fn=cmd_bounds, min_copies=1)
+
+    p = sub.add_parser("dedup", help="near-dup pairs + cluster ids (flagship)")
+    _add_sketch_flags(p)
+    p.add_argument("-j", "--jaccard", type=float, default=0.7)
+    p.add_argument("-d", "--max-dist", type=float, default=None)
+    p.add_argument("-v", "--max-pvalue", type=float, default=None)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_dedup, min_copies=1)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    # reuse a live session (tests, notebooks); only own what we created
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(cores=args.cores, app_name="mashspark-cli")
+    try:
+        return args.fn(spark, args)
+    finally:
+        if existing is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -254,6 +254,20 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
 
     df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
     df = _attach(df, sk, "id_b", "b", F.col("sketch"))
+    return _merge_and_score(df, params, jaccard_threshold=jaccard_threshold,
+                            max_distance=max_distance, max_pvalue=max_pvalue,
+                            with_pvalue=with_pvalue)
+
+
+def _merge_and_score(df: DataFrame, params: SketchParams,
+                     jaccard_threshold: float | None = None,
+                     max_distance: float | None = None,
+                     max_pvalue: float | None = None,
+                     with_pvalue: bool = False) -> DataFrame:
+    """(id_a, id_b, sketch_a, sketch_b, card_a, card_b) -> scored pairs:
+    the Mash-exact capped merge plus distance/p-value column expressions
+    and the reference's -d/-v filters (shared tail of ``verify_pairs``
+    and ``cross_dist``)."""
     vu = make_verify_udf(params.s)
     df = df.withColumn("_v", vu(F.col("sketch_a"), F.col("sketch_b")))
     df = df.select(
@@ -284,6 +298,46 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         if max_pvalue is not None:  # reference -v filter, CommandDistance.cpp:419-422
             df = df.filter(F.col("p_value") <= float(max_pvalue))
     return df.drop("card_a", "card_b")
+
+
+def cross_dist(ref_sketches: DataFrame, query_sketches: DataFrame,
+               params: SketchParams,
+               max_distance: float | None = None,
+               max_pvalue: float | None = None,
+               with_pvalue: bool = True,
+               upper_only: bool = False) -> DataFrame:
+    """Exhaustive ref × query Mash distances — the exact form of J4
+    (``mash dist`` prints EVERY query×ref pair, ``CommandDistance.cpp``
+    main loop; ``mash triangle`` is the self case with i<j,
+    ``CommandTriangle.cpp:159-198``).
+
+    The output is O(|ref|·|query|) BY DEFINITION, so this is the
+    reference-parity surface for moderate N (a 10^4×10^4 run is 10^8
+    skinny rows — fine distributed); at web scale the near-duplicate
+    path is ``lsh.candidate_pairs`` + ``verify_pairs``, which never
+    enumerates non-colliding pairs. The pair relation here is two 8-byte
+    ids; sketches attach via the same skinny-pair shuffled-hash joins as
+    ``verify_pairs``, so no fat row ever enters the cross product.
+
+    ``upper_only=True`` keeps id_a < id_b (triangle). Param compat is
+    enforced against both tables' embedded params (Sketch.cpp:133-160).
+    """
+    for t in (ref_sketches, query_sketches):
+        embedded = params_from_schema(t)
+        if embedded is not None:
+            params.check_compatible(embedded)
+    cands = (
+        ref_sketches.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(query_sketches.select(F.col("doc_id").alias("id_b")))
+    )
+    if upper_only:
+        cands = cands.filter(F.col("id_a") < F.col("id_b"))
+    ra = ref_sketches.select("doc_id", "sketch", "card_est")
+    qb = query_sketches.select("doc_id", "sketch", "card_est")
+    df = _attach(cands, ra, "id_a", "a", F.col("sketch"))
+    df = _attach(df, qb, "id_b", "b", F.col("sketch"))
+    return _merge_and_score(df, params, max_distance=max_distance,
+                            max_pvalue=max_pvalue, with_pvalue=with_pvalue)
 
 
 def best_k_hits(pairs: DataFrame, b: int, query_col: str = "id_b",

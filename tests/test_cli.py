@@ -1,0 +1,163 @@
+"""CLI parity surface: every reference command (mash.cpp:23-37) through
+``mashspark.cli.main`` on tiny deterministic fixtures, plus the exact
+all-pairs ``cross_dist`` operator it is built on."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mashspark import cli
+from mashspark.compare import capped_merge_sorted, mash_distance
+from mashspark.hashing import decode_sketch_bytes
+from mashspark.params import LSHParams, SketchParams
+from mashspark.sketch import sketch_documents
+from mashspark.verify import cross_dist
+
+PARAMS = SketchParams(k=8, s=64)
+FLAGS = ["-k", "8", "-s", "64"]
+
+
+def _mkdocs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cli") / "docs.parquet")
+    rows = []
+    for i in range(12):
+        fam = i % 6  # ids 6..11 duplicate 0..5
+        rng = np.random.RandomState(100 + fam)
+        words = [f"tok{fam}q{j}" for j in range(12)]  # disjoint vocab per family
+        text = " ".join(words[rng.randint(0, len(words))] for _ in range(120))
+        rows.append((i, text))
+    return _mkdocs(spark, base, rows)
+
+
+def test_cross_dist_matches_numpy(spark, docs_parquet):
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSHParams())
+    out = cross_dist(sk, sk, PARAMS, upper_only=True).toPandas()
+    n = docs.count()
+    assert len(out) == n * (n - 1) // 2
+    blobs = {r["doc_id"]: r["sketch"] for r in sk.select("doc_id", "sketch").collect()}
+    for _, row in out.sample(n=10, random_state=0).iterrows():
+        a = np.sort(decode_sketch_bytes(bytes(blobs[row["id_a"]])))
+        b = np.sort(decode_sketch_bytes(bytes(blobs[row["id_b"]])))
+        common, denom = capped_merge_sorted(a, b, PARAMS.s)
+        assert row["common"] == common and row["denom"] == denom
+        assert math.isclose(row["mash_dist"], mash_distance(common, denom, PARAMS.k),
+                            rel_tol=1e-12)
+    # doc i and i+6 share a seed => identical text => distance 0
+    ident = out[(out.id_a + 6) == out.id_b]
+    assert (ident.mash_dist == 0.0).all() and len(ident) == 6
+
+
+def test_cli_sketch_info_paste(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "sk.tbl")
+    assert cli.main(["sketch", *FLAGS, "-o", out, docs_parquet]) == 0
+    assert os.path.isdir(os.path.join(out, "_manifest"))
+    # resume: a second run must skip every committed bucket (no rewrite)
+    mtimes = {f: os.path.getmtime(os.path.join(out, "_manifest", f))
+              for f in os.listdir(os.path.join(out, "_manifest"))}
+    assert cli.main(["sketch", *FLAGS, "-o", out, docs_parquet]) == 0
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "_manifest", f)) == t
+
+    capsys.readouterr()
+    assert cli.main(["info", out]) == 0
+    txt = capsys.readouterr().out
+    assert "kmer\t8" in txt and "sketch_size\t64" in txt
+    # 12 per-sketch cardinality lines after the 6 header lines
+    assert len([ln for ln in txt.strip().splitlines() if ln]) == 6 + 12
+
+    capsys.readouterr()
+    assert cli.main(["info", "-d", out]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 12
+    rec = json.loads(lines[0])
+    assert rec["params"]["kmer"] == 8 and rec["params"]["hashSeed"] == 42
+
+    pasted = str(tmp_path / "pasted.tbl")
+    assert cli.main(["paste", "-o", pasted, out, out]) == 0
+    n = spark.read.parquet(os.path.join(pasted, "bucket=*")).count()
+    assert n == 24  # paste keeps both copies, like cat-ing .msh files
+
+    # mismatched params are refused at load (Sketch.cpp:133-160)
+    with pytest.raises(Exception):
+        cli.main(["dist", "-k", "12", "-s", "64", out, out])
+
+
+def test_cli_dist_and_best(spark, docs_parquet, tmp_path, capsys):
+    sk = str(tmp_path / "sk.tbl")
+    cli.main(["sketch", *FLAGS, "-o", sk, docs_parquet])
+    capsys.readouterr()
+    # sketch table as ref, raw docs as query (mash accepts fasta for .msh)
+    assert cli.main(["dist", *FLAGS, sk, docs_parquet]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 12 * 12
+    # stdout emits the DataFrame columns: id_a id_b common denom jaccard mash_dist p_value
+    assert len(lines[0].split("\t")) == 7
+    capsys.readouterr()
+    assert cli.main(["dist", *FLAGS, "-d", "0.05", "-b", "1", sk, docs_parquet]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 12  # best-1 hit per query is its identical twin/self
+    # distributed TSV sink
+    tsv = str(tmp_path / "dist.tsv")
+    assert cli.main(["dist", *FLAGS, "-o", tsv, sk, sk]) == 0
+    got = spark.read.option("sep", "\t").csv(tsv).count()
+    assert got == 144
+
+
+def test_cli_triangle(spark, docs_parquet, capsys):
+    capsys.readouterr()
+    assert cli.main(["triangle", *FLAGS, "-E", docs_parquet]) == 0
+    edges = capsys.readouterr().out.strip().splitlines()
+    assert len(edges) == 12 * 11 // 2
+    capsys.readouterr()
+    assert cli.main(["triangle", *FLAGS, docs_parquet]) == 0
+    phylip = capsys.readouterr().out.splitlines()
+    assert phylip[0].strip() == "12"
+    assert len(phylip) == 13
+    # row i has i distances
+    assert len(phylip[3].split("\t")) == 1 + 2
+
+
+def test_cli_screen_contain_bounds_dedup(spark, docs_parquet, tmp_path, capsys):
+    capsys.readouterr()
+    assert cli.main(["screen", *FLAGS, "-w", docs_parquet, docs_parquet]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 12
+    for ln in lines:
+        ident = float(ln.split("\t")[3])
+        assert 0.0 <= ident <= 1.0
+
+    capsys.readouterr()
+    assert cli.main(["contain", *FLAGS, docs_parquet, docs_parquet]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 144
+    # self-containment == 1.0
+    for ln in lines:
+        p = ln.split("\t")
+        if p[0] == p[1]:
+            assert float(p[4]) == 1.0
+
+    capsys.readouterr()
+    assert cli.main(["bounds", *FLAGS]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[3].startswith("distance") and len(out) == 3 + 1 + 6
+
+    dd = str(tmp_path / "dedup.out")
+    assert cli.main(["dedup", *FLAGS, "-o", dd, docs_parquet]) == 0
+    clusters = spark.read.parquet(os.path.join(dd, "clusters"))
+    assert clusters.count() == 12
+    # 6 seed-pairs => 6 clusters of 2
+    assert clusters.select("cluster_id").distinct().count() == 6
+    m = json.loads(spark.read.json(os.path.join(dd, "metrics.json"))
+                   .collect()[0]["metrics"])
+    assert m["n_docs"] == 12 and m["n_clusters"] == 6
