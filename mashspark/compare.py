@@ -359,7 +359,9 @@ def binom_sf(x_minus_1, r, n) -> np.ndarray:
                     vals[j] = _binom_sf_scalar(
                         int(uniq[j, 0]) - 1, float(uniq[j, 1]), n_int)
         out[gi] = vals[inv]
-    return out.reshape(shape)
+    # a full-distribution tail can round a float ulp above 1.0
+    # (e.g. x=1, r->1): p-values are clamped to the probability range
+    return np.minimum(out, 1.0).reshape(shape)
 
 
 def pvalue_dist(common, length_ref, length_query, kmer_space: float, sketch_size):

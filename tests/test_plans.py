@@ -232,3 +232,33 @@ def test_no_duplicated_udf_evaluation(spark, docs_parquet):
     bad = {name: dups for name, p in plans.items()
            if (dups := _duplicated_udf_calls(p))}
     assert not bad, f"duplicated python-UDF evaluation: {bad}"
+
+
+def test_cross_dist_crosses_ids_not_sketches(spark, docs_parquet):
+    """cross_dist's pair space is O(n*m) BY DEFINITION (mash dist prints
+    every pair), so the only scale property to pin is that the cross
+    product happens over skinny 8-byte id relations — the fat sketch
+    blobs must attach AFTER pair enumeration via hash joins, and no
+    sort-merge may sort fat rows."""
+    from mashspark.verify import cross_dist
+
+    docs = spark.read.parquet(docs_parquet)
+    sk = sketch_documents(docs, PARAMS, LSH)
+    out = cross_dist(sk, sk, PARAMS, upper_only=True, with_pvalue=False)
+    plan = plan_of(out, "formatted")
+    assert "SortMergeJoin" not in plan, plan
+    # the nested-loop cross node exists, but over id-only projections:
+    # every BroadcastNestedLoopJoin input/output must be id columns only
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" in ln and ":" in ln and "Output" in ln:
+            assert "sketch" not in ln, ln
+    # sketches enter through hash joins after the cross product
+    import re
+
+    bnl = [l for l in lines if re.search(r"\(\d+\) BroadcastNestedLoopJoin", l)]
+    assert bnl, "expected a cross node over ids"
+    out_lines = [lines[i + 1] for i, l in enumerate(lines) if l in bnl
+                 and i + 1 < len(lines)]
+    for ol in out_lines:
+        assert "sketch" not in ol, ol
