@@ -286,6 +286,33 @@ def cmd_dedup(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_stream(spark: SparkSession, args) -> int:
+    """Streaming incremental dedup (beyond the reference — the crawl
+    firehose): consume a parquet document directory as a Structured
+    Stream (availableNow = drain everything queued, then stop; rerun as
+    new files land — the checkpoint resumes where the last run left
+    off), near-dup each micro-batch against the persisted sketch store,
+    append per-doc decisions."""
+    params = _sketch_params(args)
+    cfg = PipelineConfig(sketch=params, jaccard_threshold=args.jaccard)
+    schema = spark.read.parquet(args.input).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", args.max_files)
+              .parquet(args.input))
+    if "doc_id" not in schema.fieldNames():
+        stream = stream.withColumn("doc_id", F.xxhash64("url"))
+    from .streaming import incremental_dedup
+    q = incremental_dedup(
+        stream, args.store, config=cfg,
+        checkpoint=os.path.join(args.store, "_checkpoint"))
+    q.awaitTermination()
+    dec = spark.read.parquet(os.path.join(args.store, "decisions"))
+    n, n_dup = dec.count(), dec.filter(F.col("dup_of").isNotNull()).count()
+    print(f"decided {n} docs ({n_dup} near-duplicates) -> "
+          f"{args.store}/decisions", file=sys.stderr)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def _add_sketch_flags(p: argparse.ArgumentParser) -> None:
@@ -369,6 +396,16 @@ def build_parser() -> argparse.ArgumentParser:
     _add_sketch_flags(p)
     p.add_argument("-p", "--prob", type=float, default=0.99)
     p.set_defaults(fn=cmd_bounds, min_copies=1)
+
+    p = sub.add_parser("stream", help="streaming incremental dedup vs a sketch store")
+    _add_sketch_flags(p)
+    p.add_argument("-j", "--jaccard", type=float, default=0.7)
+    p.add_argument("--max-files", type=int, default=4,
+                   help="parquet files per micro-batch")
+    p.add_argument("--store", required=True,
+                   help="sketch store dir (created/extended)")
+    p.add_argument("input", help="parquet document directory to stream")
+    p.set_defaults(fn=cmd_stream, min_copies=1)
 
     p = sub.add_parser("dedup", help="near-dup pairs + cluster ids (flagship)")
     _add_sketch_flags(p)

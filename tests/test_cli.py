@@ -161,3 +161,37 @@ def test_cli_screen_contain_bounds_dedup(spark, docs_parquet, tmp_path, capsys):
     m = json.loads(spark.read.json(os.path.join(dd, "metrics.json"))
                    .collect()[0]["metrics"])
     assert m["n_docs"] == 12 and m["n_clusters"] == 6
+
+
+def test_cli_stream_incremental(spark, docs_parquet, tmp_path, capsys):
+    """mashspark stream: drain the fixture dir with availableNow, then a
+    SECOND invocation with extra files resumes from the checkpoint and
+    dedups the new docs against the persisted store."""
+    import shutil
+
+    indir = str(tmp_path / "incoming")
+    os.makedirs(indir)
+    docs = spark.read.parquet(docs_parquet)
+    docs.filter("doc_id < 6").coalesce(1).write.mode("overwrite").parquet(
+        indir + "/batch1")
+    store = str(tmp_path / "store")
+    argv = ["stream", *FLAGS, "--store", store]
+    assert cli.main([*argv, indir + "/batch1"]) == 0
+    dec1 = spark.read.parquet(os.path.join(store, "decisions"))
+    assert dec1.count() == 6
+    assert dec1.filter("dup_of is not null").count() == 0  # all novel
+
+    # second run: twins of the first six arrive in the SAME input dir
+    docs.filter("doc_id >= 6").coalesce(1).write.mode("overwrite").parquet(
+        indir + "/batch1/_tmp2")
+    for f in os.listdir(indir + "/batch1/_tmp2"):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(indir, "batch1", "_tmp2", f),
+                        os.path.join(indir, "batch1", "late_" + f))
+    shutil.rmtree(indir + "/batch1/_tmp2")
+    assert cli.main([*argv, indir + "/batch1"]) == 0
+    dec2 = spark.read.parquet(os.path.join(store, "decisions"))
+    assert dec2.count() == 12  # checkpoint resumed: first 6 not re-decided
+    dups = {r["doc_id"]: r["dup_of"]
+            for r in dec2.filter("dup_of is not null").collect()}
+    assert dups == {i: i - 6 for i in range(6, 12)}  # each twin -> its original
