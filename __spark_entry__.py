@@ -199,6 +199,19 @@ def _q_bpe_token_counts(spark, sf_dir):
     )
 
 
+def _q_contamination_flags(spark, sf_dir):
+    """GPT-3/Pile-style benchmark decontamination (decontam.py): every
+    doc's word 8-grams vs a broadcast benchmark n-gram set; benchmark =
+    docs with doc_id % 10 == 0 (a deterministic self-contained split, so
+    every benchmark doc self-flags and near-dup family members of
+    benchmark docs partially overlap — non-vacuous both ways)."""
+    from mashspark.decontam import contamination_flags
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_flags(d, bench, n=8)
+
+
 def _q_gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filter over the SEEDED lined view (first line
     re-appended, as in _q_repetition_signals, so dup-line rules see real
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_cleaned": _q_line_dedup_cleaned,
         "bpe_token_counts": _q_bpe_token_counts,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "contamination_flags": _q_contamination_flags,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -1108,6 +1122,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Gopher A1 rules over the lined view; regexp_replace needs the
         # 'g' flag in DuckDB to match Spark's replace-all semantics
+        "contamination_flags": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                FROM norm WHERE len(ws) >= 8
+            ),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS g
+                FROM pos
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM grams GROUP BY doc_id),
+            hit AS (
+                SELECT g.doc_id, count(*) AS n_cont
+                FROM grams g JOIN bench b ON g.g = b.g
+                GROUP BY g.doc_id
+            )
+            SELECT n.doc_id,
+                   coalesce(t.n_total, 0) AS n_total_ngrams,
+                   coalesce(h.n_cont, 0) AS n_contaminated,
+                   coalesce(h.n_cont, 0) > 0 AS contaminated
+            FROM norm n
+            LEFT JOIN tot t ON t.doc_id = n.doc_id
+            LEFT JOIN hit h ON h.doc_id = n.doc_id
+        """,
         "gopher_quality_flags": r"""
             WITH lined0 AS (
                 SELECT doc_id,
