@@ -212,6 +212,38 @@ def _q_contamination_flags(spark, sf_dir):
     return contamination_flags(d, bench, n=8)
 
 
+def _q_domain_stats(spark, sf_dir):
+    """Per-host corpus rollup (urls.domain_stats): docs/unique-urls/
+    refetch-dup-docs/text-chars by host over deterministic multi-host
+    synthetic URLs — every 3 consecutive doc_ids form a family on host
+    site{K%7}.example whose variants 0/1 canonicalize to one URL (a
+    refetch dup) and variant 2 stays unique. Mirrored in DuckDB."""
+    from mashspark.urls import domain_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    fam = F.expr("doc_id div 3").cast("string")
+    host = F.concat(F.lit("site"), F.expr("(doc_id div 3) % 7").cast("string"),
+                    F.lit(".example"))
+    v = (F.col("doc_id") % 3).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, F.lit("/p/"), fam))
+        .when(v == 1, F.concat(F.lit("https://www."), host, F.lit("/p/"), fam,
+                               F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/q/"), fam,
+                            F.lit("?utm_source=x")))
+    )
+    return domain_stats(d.withColumn("url", url))
+
+
+def _q_pack_layout(spark, sf_dir):
+    """Concat-and-chunk sequence packing layout (packing.py): global
+    token offsets and chunk spans at a 256-token budget, whitespace
+    token convention (matches token_counts)."""
+    from mashspark.packing import pack_layout
+
+    return pack_layout(_docs(spark, sf_dir), budget=256)
+
+
 def _q_gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filter over the SEEDED lined view (first line
     re-appended, as in _q_repetition_signals, so dup-line rules see real
@@ -697,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "contamination_flags": _q_contamination_flags,
+        "pack_layout": _q_pack_layout,
+        "domain_stats": _q_domain_stats,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -1122,6 +1156,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Gopher A1 rules over the lined view; regexp_replace needs the
         # 'g' flag in DuckDB to match Spark's replace-all semantics
+        "domain_stats": r"""
+            WITH urls AS (
+                SELECT doc_id, text,
+                    'site' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.example' AS host,
+                    CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN 'https://site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                                  || '.example/p/' || CAST(doc_id // 3 AS VARCHAR)
+                      WHEN 1 THEN 'https://www.site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                                  || '.example/p/' || CAST(doc_id // 3 AS VARCHAR) || '#frag'
+                      ELSE 'https://site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                           || '.example/q/' || CAST(doc_id // 3 AS VARCHAR) || '?utm_source=x'
+                    END AS url
+                FROM documents
+            ),
+            -- canonicalization specialized to this synthesized family
+            -- (the full machinery is validated by url_dup_groups):
+            -- strip #fragment, strip www., drop the utm-only query
+            norm AS (
+                SELECT doc_id, host, len(text) AS n_chars,
+                       replace(replace(regexp_replace(url, '#.*$', ''),
+                               '://www.', '://'), '?utm_source=x', '') AS norm_url
+                FROM urls
+            ),
+            per_url AS (
+                SELECT host, norm_url, count(*) AS n_docs_url,
+                       sum(n_chars) AS chars_url
+                FROM norm GROUP BY host, norm_url
+            )
+            SELECT host,
+                   CAST(sum(n_docs_url) AS BIGINT) AS n_docs,
+                   count(*) AS n_unique_urls,
+                   CAST(sum(CASE WHEN n_docs_url > 1 THEN n_docs_url ELSE 0 END)
+                        AS BIGINT) AS n_dup_url_docs,
+                   CAST(sum(chars_url) AS BIGINT) AS total_text_chars
+            FROM per_url GROUP BY host
+        """,
+        "pack_layout": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS global_offset
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, global_offset,
+                   global_offset // 256 AS chunk_id,
+                   global_offset % 256 AS chunk_offset,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (global_offset + n_tokens - 1) // 256
+                             - global_offset // 256 + 1
+                   END AS n_chunks_spanned
+            FROM cum
+        """,
         "contamination_flags": """
             WITH norm AS (
                 SELECT doc_id,

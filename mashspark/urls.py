@@ -98,6 +98,52 @@ def url_dup_groups(df: DataFrame, url_col: str = "url",
     )
 
 
+def host_of(url) -> Column:
+    """Lowercased host with a leading ``www.`` stripped (no port
+    stripping — ports distinguish origins for stats purposes). Pure
+    column expression."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    return F.regexp_replace(host, "^www\\.", "")
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-host corpus statistics — the rollup a crawl curation pass
+    ranks and filters on: (host, n_docs, n_unique_urls, n_dup_url_docs,
+    total_text_chars). ``n_dup_url_docs`` counts docs whose canonical
+    URL occurs more than once under the host (refetch pressure).
+
+    One map-only projection + one groupBy(host, norm_url) + one
+    groupBy(host): both aggregate with map-side partials; hosts are the
+    classic skew key (a mega-site dwarfs the tail), but the per-URL
+    pre-aggregation bounds any host's second-stage input by its count
+    of DISTINCT urls, and AQE skew handling splits the rest. (True
+    registrable-domain grouping needs the public-suffix list, which is
+    not bundled; host-level is exact and PSL grouping is a map-only
+    lookup away.)"""
+    per_url = (
+        with_normalized_url(df, url_col)
+        .withColumn("_host", host_of(url_col))
+        .groupBy("_host", "norm_url")
+        .agg(
+            F.count("*").alias("n_docs_url"),
+            F.sum(F.length(text_col)).alias("chars_url"),
+        )
+    )
+    return (
+        per_url.groupBy("_host")
+        .agg(
+            F.sum("n_docs_url").alias("n_docs"),
+            F.count("*").alias("n_unique_urls"),
+            F.sum(F.when(F.col("n_docs_url") > 1, F.col("n_docs_url"))
+                  .otherwise(F.lit(0))).alias("n_dup_url_docs"),
+            F.sum("chars_url").alias("total_text_chars"),
+        )
+        .withColumnRenamed("_host", "host")
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per canonical URL — the ingest

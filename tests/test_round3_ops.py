@@ -383,3 +383,29 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[4].dup_line_frac_ok and not got[4].keep
     assert not got[5].stopwords_ok and not got[5].keep
     assert not got[6].symbol_ratio_ok and not got[6].keep
+
+
+def test_domain_stats_rollup(spark):
+    """Per-host rollup: doc counts, distinct canonical urls, refetch-dup
+    docs, and text volume — pinned against a hand-computed fixture."""
+    from mashspark.urls import domain_stats
+
+    rows = [
+        # a.com: /x fetched twice (www variant), /y once
+        (0, "https://a.com/x", "aaaa"),
+        (1, "https://www.a.com/x#f", "bbb"),
+        (2, "https://a.com/y?utm_source=t", "cc"),
+        # b.com: one url fetched three times
+        (3, "https://b.com/only", "d"),
+        (4, "https://b.com/only/", "ee"),
+        (5, "http://b.com/only", "fff"),  # http != https: NOT a dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["host"]: r for r in domain_stats(df).collect()}
+    assert set(got) == {"a.com", "b.com"}
+    a = got["a.com"]
+    assert (a["n_docs"], a["n_unique_urls"], a["n_dup_url_docs"],
+            a["total_text_chars"]) == (3, 2, 2, 9)
+    b = got["b.com"]
+    assert (b["n_docs"], b["n_unique_urls"], b["n_dup_url_docs"],
+            b["total_text_chars"]) == (3, 2, 2, 6)
