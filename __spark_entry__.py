@@ -244,6 +244,14 @@ def _q_pack_layout(spark, sf_dir):
     return pack_layout(_docs(spark, sf_dir), budget=256)
 
 
+def _q_chunk_members(spark, sf_dir):
+    """Per-chunk membership of the packed stream (packing.chunk_members):
+    which token range of which doc lands in each 256-token chunk."""
+    from mashspark.packing import chunk_members, pack_layout
+
+    return chunk_members(pack_layout(_docs(spark, sf_dir), budget=256), 256)
+
+
 def _q_gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filter over the SEEDED lined view (first line
     re-appended, as in _q_repetition_signals, so dup-line rules see real
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination_flags,
         "pack_layout": _q_pack_layout,
         "domain_stats": _q_domain_stats,
+        "chunk_members": _q_chunk_members,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -1213,6 +1222,36 @@ def oracle_sql() -> dict[str, str]:
                              - global_offset // 256 + 1
                    END AS n_chunks_spanned
             FROM cum
+        """,
+        "chunk_members": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS global_offset
+                FROM toks
+            ),
+            lay AS (
+                SELECT doc_id, n_tokens, global_offset,
+                       global_offset // 256 AS c0,
+                       (global_offset + n_tokens - 1) // 256 AS c1
+                FROM cum WHERE n_tokens > 0
+            ),
+            memb AS (
+                SELECT doc_id, n_tokens, global_offset,
+                       unnest(range(c0, c1 + 1)) AS chunk_id
+                FROM lay
+            )
+            SELECT chunk_id, doc_id,
+                   greatest(0, chunk_id * 256 - global_offset) AS slice_start,
+                   least(n_tokens, (chunk_id + 1) * 256 - global_offset)
+                     - greatest(0, chunk_id * 256 - global_offset) AS slice_len
+            FROM memb
         """,
         "contamination_flags": """
             WITH norm AS (

@@ -105,3 +105,30 @@ def pack_layout(docs: DataFrame, budget: int, id_col: str = "doc_id",
                 "chunk_offset", "n_chunks_spanned")
     )
     return out
+
+
+def chunk_members(layout: DataFrame, budget: int) -> DataFrame:
+    """Explode a ``pack_layout`` result into per-chunk membership:
+    (chunk_id, doc_id, slice_start, slice_len) — for every chunk a doc
+    touches, which token range of the doc lands in it. A chunk
+    materializer groups this by ``chunk_id`` and concatenates slices; a
+    shard writer range-partitions on it. Map-only explode (spans are
+    almost always 1-2 chunks), no shuffle here; zero-token docs appear
+    in no chunk by definition."""
+    b = int(budget)
+    spanned = layout.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "global_offset", "n_tokens",
+        F.explode(
+            F.sequence(F.col("chunk_id"),
+                       F.col("chunk_id") + F.col("n_chunks_spanned") - 1)
+        ).alias("chunk_id"),
+    )
+    start = F.greatest(F.lit(0).cast("long"),
+                       F.col("chunk_id") * b - F.col("global_offset"))
+    end = F.least(F.col("n_tokens"),
+                  (F.col("chunk_id") + 1) * b - F.col("global_offset"))
+    return spanned.select(
+        "chunk_id", "doc_id",
+        start.alias("slice_start"),
+        (end - start).alias("slice_len"),
+    )

@@ -71,3 +71,33 @@ def test_pack_layout_stream_is_gapless(spark):
     for r in rows:
         if r["n_tokens"] and r["chunk_offset"] + r["n_tokens"] > BUDGET:
             assert r["n_chunks_spanned"] > 1
+
+
+def test_chunk_members_tile_exactly(spark):
+    """Per-chunk slices tile every chunk to exactly `budget` tokens
+    (except the final partial chunk), and each doc's slices cover the
+    doc gaplessly in order."""
+    from mashspark.packing import chunk_members
+
+    docs = _docs(spark, n=35, seed=11)
+    layout = pack_layout(docs, BUDGET)
+    members = chunk_members(layout, BUDGET).collect()
+    total = sum(r["n_tokens"] for r in layout.collect())
+    n_chunks = (total + BUDGET - 1) // BUDGET
+
+    per_chunk = {}
+    per_doc = {}
+    for r in members:
+        assert r["slice_len"] > 0
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + r["slice_len"]
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["slice_start"], r["slice_len"]))
+    assert set(per_chunk) == set(range(n_chunks))
+    for c, tok in per_chunk.items():
+        assert tok == (BUDGET if c < n_chunks - 1 else total - BUDGET * c)
+    for doc_id, slices in per_doc.items():
+        slices.sort()
+        pos = 0
+        for _, s, ln in slices:
+            assert s == pos
+            pos += ln
