@@ -244,6 +244,32 @@ def _q_pack_layout(spark, sf_dir):
     return pack_layout(_docs(spark, sf_dir), budget=256)
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """Composition of the cheap curation pre-filters, end to end: input
+    -> URL dedup (multi-variant synthetic urls) -> exact-text dedup ->
+    quality floor (>=50 whitespace tokens) -> survivor count + token
+    budget, one row. The near-dup stage that sits between exact dedup
+    and quality in production is pinned by entry()/minhash_* (murmur-
+    based, not SQL-expressible); this query pins the STAGE WIRING."""
+    from mashspark.urls import url_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    withurl = d.join(_urls_for_docs(spark, sf_dir), "doc_id")
+    u = url_dedup(withurl)
+    reps = u.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    e = u.join(reps, ["text", "doc_id"], "left_semi")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    q = e.filter(ntok >= 50)
+    return (
+        d.agg(F.count("*").alias("n_input"))
+        .crossJoin(u.agg(F.count("*").alias("n_after_url")))
+        .crossJoin(e.agg(F.count("*").alias("n_after_exact")))
+        .crossJoin(q.agg(
+            F.count("*").alias("n_after_quality"),
+            F.coalesce(F.sum(ntok), F.lit(0)).alias("total_tokens")))
+    )
+
+
 def _q_chunk_members(spark, sf_dir):
     """Per-chunk membership of the packed stream (packing.chunk_members):
     which token range of which doc lands in each 256-token chunk."""
@@ -740,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_layout": _q_pack_layout,
         "domain_stats": _q_domain_stats,
         "chunk_members": _q_chunk_members,
+        "curation_funnel": _q_curation_funnel,
         "minhash_cluster_sizes": _q_minhash_cluster_sizes,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "sketch_cardinalities": _q_sketch_cardinalities,
@@ -1222,6 +1249,71 @@ def oracle_sql() -> dict[str, str]:
                              - global_offset // 256 + 1
                    END AS n_chunks_spanned
             FROM cum
+        """,
+        "curation_funnel": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                    CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+                      WHEN 1 THEN 'https://www.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#sec2'
+                      WHEN 2 THEN 'https://example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+                      WHEN 3 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+                      ELSE 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+                    END AS url
+                FROM documents
+            ),
+            defrag AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+            ),
+            parts AS (
+                SELECT doc_id,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+                    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                    regexp_extract(u, '\?([^#]*)', 1) AS q
+                FROM defrag
+            ),
+            norm AS (
+                SELECT doc_id,
+                    scheme || '://' ||
+                    (CASE scheme
+                       WHEN 'http' THEN regexp_replace(host0, ':80$', '')
+                       WHEN 'https' THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END) ||
+                    path ||
+                    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS norm_url
+                FROM (
+                    SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+                    )), '&'), '') AS qn
+                    FROM parts
+                )
+            ),
+            u_reps AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm_url) AS rep
+                    FROM norm
+                ) WHERE doc_id = rep
+            ),
+            udocs AS (
+                SELECT d.doc_id, d.text FROM documents d JOIN u_reps USING (doc_id)
+            ),
+            e AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+                    FROM udocs
+                ) WHERE doc_id = rep
+            ),
+            q AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                FROM e WHERE len(string_split(text, ' ')) >= 50
+            )
+            SELECT (SELECT count(*) FROM documents) AS n_input,
+                   (SELECT count(*) FROM u_reps) AS n_after_url,
+                   (SELECT count(*) FROM e) AS n_after_exact,
+                   (SELECT count(*) FROM q) AS n_after_quality,
+                   (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM q) AS total_tokens
         """,
         "chunk_members": """
             WITH toks AS (
