@@ -431,6 +431,18 @@ def _q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_semantic_dup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup END TO END (ann.semantic_dedup):
+    cosine pairs -> cc.connected_components -> min-id representative per
+    group. The exact pair path makes the whole chain — including the
+    connected-components operator — checkable against a DuckDB
+    recursive-CTE transitive-closure oracle."""
+    from mashspark.ann import semantic_dedup
+
+    v = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    return semantic_dedup(v, min_cos=0.4, exact=True)
+
+
 def _q_srp_bucket_stats(spark, sf_dir):
     """SRP-LSH bucket-size distribution (the ANN scale path's partitioning
     behavior; murmur-free but plane-seed-dependent, so rows-only)."""
@@ -772,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cardinalities": _q_sketch_cardinalities,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "semantic_dup_clusters": _q_semantic_dup_clusters,
         "srp_bucket_stats": _q_srp_bucket_stats,
         "screen_boilerplate": _q_screen_boilerplate,
         "count_histogram": _q_count_histogram,
@@ -983,6 +996,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 2000 AND b.vec_id < 2000
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "semantic_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 2000 AND b.vec_id < 2000
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            labels AS (
+                SELECT u AS vec_id, min(v) AS rep_id FROM reach GROUP BY u
+            ),
+            sizes AS (
+                SELECT rep_id, count(*) AS cluster_size
+                FROM labels GROUP BY rep_id
+            )
+            SELECT l.vec_id, l.rep_id, s.cluster_size,
+                   (l.vec_id = l.rep_id) AS is_rep
+            FROM labels l JOIN sizes s USING (rep_id)
         """,
         "count_histogram": """
             WITH pos AS (

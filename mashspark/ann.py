@@ -152,6 +152,65 @@ def embedding_dup_pairs(vectors: DataFrame, min_cos: float = 0.95,
     )
 
 
+def semantic_dedup(vectors: DataFrame, min_cos: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_bits: int = 6, n_tables: int = 8, seed: int = 11,
+                   exact: bool = False) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023 — public paper): embedding-cosine near-dup pairs -> connected
+    components -> keep the minimum-id representative per semantic group.
+
+    The reference engine has no embedding stage (its dedup primitive is
+    the MinHash sketch, ``Sketch.cpp:512-583``); this operator is the
+    embedding-space member of the same pairs->components->representatives
+    pipeline shape as ``pipeline.dedup_pipeline``.
+
+    Scale shape: candidate pairs come from the SRP OR-construction
+    (``embedding_dup_pairs`` — only same-bucket pairs are scored, recall
+    closed form in ``make_srp_multi_udf``); components run through
+    ``cc.connected_components`` (large/small-star above the driver
+    threshold). Nothing is all-pairs unless ``exact=True`` (fixture- and
+    oracle-sized inputs only).
+
+    Output: one row per vector belonging to a semantic group of size >= 2
+    — (vec_id, rep_id, cluster_size, is_rep). Vectors absent from the
+    output are singletons (their own representatives); the dedup decision
+    is "drop every row with is_rep = false", applied by left-anti join.
+    """
+    from mashspark.cc import connected_components
+
+    if exact:
+        a = vectors.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("vec_a"))
+        b = vectors.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vec_b"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", _cos_expr(
+                F.col("vec_a").cast("array<double>"),
+                F.col("vec_b").cast("array<double>")))
+            .filter(F.col("cos_sim") >= min_cos)
+            .select("id_a", "id_b")
+        )
+    else:
+        pairs = embedding_dup_pairs(
+            vectors, min_cos=min_cos, n_bits=n_bits, n_tables=n_tables,
+            seed=seed, id_col=id_col, vec_col=vec_col,
+        ).select("id_a", "id_b")
+
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("doc_id").alias(id_col), F.col("cluster_id").alias("rep_id"))
+    sizes = labels.groupBy("rep_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "rep_id")
+        .select(id_col, "rep_id", "cluster_size",
+                (F.col(id_col) == F.col("rep_id")).alias("is_rep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

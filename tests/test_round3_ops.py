@@ -409,3 +409,100 @@ def test_domain_stats_rollup(spark):
     b = got["b.com"]
     assert (b["n_docs"], b["n_unique_urls"], b["n_dup_url_docs"],
             b["total_text_chars"]) == (3, 2, 2, 6)
+
+
+# --- SemDeDup-style semantic dedup ---
+
+
+def _synth_dup_embeddings(spark, dim=32, seed=9):
+    """Planted semantic-dup groups: 4 groups of near-identical unit
+    vectors (within-group cosine ~0.999) + 30 well-separated singletons."""
+    rng = np.random.default_rng(seed)
+    rows, vid = [], 0
+    group_sizes = [4, 3, 2, 2]
+    for g in group_sizes:
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(g):
+            p = base + 0.01 * rng.standard_normal(dim)
+            p /= np.linalg.norm(p)
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    for _ in range(30):
+        p = rng.standard_normal(dim)
+        p /= np.linalg.norm(p)
+        rows.append((vid, [float(x) for x in p]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), group_sizes
+
+
+def _bruteforce_semantic_groups(df, min_cos):
+    """Numpy all-pairs + union-find oracle: {frozenset(group ids)} of
+    size >= 2 components at the threshold."""
+    from tests.oracle import UnionFind
+
+    rows = df.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    uf = UnionFind(len(ids))
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= min_cos:
+                uf.union(i, j)
+    groups = {}
+    for i in range(len(ids)):
+        groups.setdefault(uf.find(i), []).append(ids[i])
+    return {frozenset(g) for g in groups.values() if len(g) >= 2}
+
+
+def _groups_from_labels(rows):
+    got = {}
+    for r in rows:
+        got.setdefault(r.rep_id, []).append(r.vec_id)
+    return {frozenset(g) for g in got.values()}
+
+
+def test_semantic_dedup_exact_matches_bruteforce(spark):
+    """Exact path: components, representative choice (min id), sizes and
+    is_rep flags all agree with the numpy union-find oracle."""
+    from mashspark.ann import semantic_dedup
+
+    df, _ = _synth_dup_embeddings(spark)
+    out = semantic_dedup(df, min_cos=0.95, exact=True).collect()
+    want = _bruteforce_semantic_groups(df, 0.95)
+    assert _groups_from_labels(out) == want
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r.rep_id, []).append(r)
+    for rep_id, members in by_rep.items():
+        ids = {m.vec_id for m in members}
+        assert rep_id == min(ids), "representative must be the min id"
+        for m in members:
+            assert m.cluster_size == len(ids)
+            assert m.is_rep == (m.vec_id == rep_id)
+
+
+def test_semantic_dedup_srp_path_recovers_planted_groups(spark):
+    """Scale path (SRP OR-construction, t=8 tables x 6 bits): at
+    within-group cosine ~0.999 the per-table agree probability is ~0.95,
+    so the miss probability across 8 tables is ~1e-10 — every planted
+    group must be recovered exactly, and no false groups can appear
+    (exact cosine verification prunes bucket collisions)."""
+    from mashspark.ann import semantic_dedup
+
+    df, _ = _synth_dup_embeddings(spark)
+    out = semantic_dedup(df, min_cos=0.95, n_bits=6, n_tables=8).collect()
+    want = _bruteforce_semantic_groups(df, 0.95)
+    assert _groups_from_labels(out) == want
+
+
+def test_semantic_dedup_no_dups_yields_empty(spark):
+    """A dup-free corpus produces zero rows (every doc is a singleton
+    representative), not a crash on the empty edge list."""
+    from mashspark.ann import semantic_dedup
+
+    df, _ = _synth_dup_embeddings(spark)
+    singles = df.filter(F.col("vec_id") >= 11)  # drop the planted groups
+    assert semantic_dedup(singles, min_cos=0.95, exact=True).count() == 0
