@@ -679,6 +679,43 @@ def _q_media_payload_stats(spark, sf_dir):
     )
 
 
+def _q_video_frame_samples(spark, sf_dir):
+    """Multimodal video frame sampling END TO END through the REAL Y4M
+    codec: synthesize one video per doc (n_frames = 3 + doc_id % 5,
+    frame f a constant-luma (doc_id*7 + f*13) % 256 plane), encode to
+    real YUV4MPEG2 bytes, decode + uniformly sample 4 frames via the
+    Arrow-batched mapInPandas operator. The oracle recomputes the
+    sampling rule floor(i*(nf-1)/(k-1)+0.5) and each sampled frame's
+    luma mean arithmetically — any decode/sample bug breaks the match."""
+    from mashspark.multimodal import sample_video_frames
+
+    def make_videos(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mashspark.codecs import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                nf = 3 + int(mid) % 5
+                frames = np.stack([
+                    np.full((6, 8), (int(mid) * 7 + f * 13) % 256, dtype=np.uint8)
+                    for f in range(nf)
+                ])
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(make_videos, "media_id long, payload binary")
+    )
+    return sample_video_frames(media, n_sample=4).select(
+        "media_id", "frame_idx", "n_frames", "frame_mean"
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     """Hourly tumbling-window rollup over the events table: count, exact
     integer value-sum (cents — double sums are shuffle-order-dependent and
@@ -796,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
+        "video_frame_samples": _q_video_frame_samples,
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -906,6 +944,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS k_sum
             FROM events GROUP BY 1, 2
+        """,
+        "video_frame_samples": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CAST(3 + doc_id % 5 AS BIGINT) AS n_frames
+                FROM documents WHERE doc_id < 60
+            ),
+            s AS (
+                SELECT media_id, n_frames,
+                       LEAST(4, n_frames) AS k,
+                       unnest(range(LEAST(4, n_frames))) AS i
+                FROM v
+            )
+            SELECT media_id,
+                   CASE WHEN k = 1 THEN 0
+                        ELSE CAST(floor(i * (n_frames - 1.0) / (k - 1) + 0.5)
+                                  AS BIGINT) END AS frame_idx,
+                   n_frames,
+                   CAST((media_id * 7 + (CASE WHEN k = 1 THEN 0
+                        ELSE CAST(floor(i * (n_frames - 1.0) / (k - 1) + 0.5)
+                                  AS BIGINT) END) * 13) % 256 AS DOUBLE) / 255.0
+                       AS frame_mean
+            FROM s
         """,
         "media_payload_stats": """
             WITH m AS (

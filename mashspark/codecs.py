@@ -1,6 +1,7 @@
 """Pure-numpy media codecs for container formats that need no external
 codec library: WAV (RIFF PCM / IEEE-float audio), BMP (uncompressed
-24-bit), and PNM (P5 grayscale / P6 RGB). These make the multimodal
+24-bit), PNM (P5 grayscale / P6 RGB), and Y4M (YUV4MPEG2 uncompressed
+video — the frame-sample path). These make the multimodal
 decode path REAL for codec-free formats; compressed formats (JPEG, PNG,
 MP3, MP4) still route to the documented stub because this container
 ships no image/audio codec libraries (see ``multimodal.decode_media``).
@@ -171,6 +172,93 @@ def encode_ppm(img: np.ndarray) -> bytes:
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video; the frame-sample path's real codec
+# ---------------------------------------------------------------------------
+
+
+def _y4m_chroma_bytes(w: int, h: int, cs: str) -> int:
+    if cs.startswith("C420"):
+        return 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    if cs.startswith("C422"):
+        return 2 * ((w + 1) // 2) * h
+    if cs.startswith("C444"):
+        return 2 * w * h
+    if cs.startswith("Cmono"):
+        return 0
+    raise ValueError(f"unsupported Y4M colorspace {cs}")
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 -> ((n_frames, h, w) uint8 luma planes, fps).
+
+    The header is space-separated ASCII tags (``W`` width, ``H`` height,
+    ``F`` num:den framerate, ``C`` colorspace, others ignored); each
+    frame is a ``FRAME[ params]\\n`` line followed by the raw Y plane and
+    the colorspace's chroma planes. Chroma is parsed (to advance
+    correctly) but only luma is returned — every downstream feature
+    kernel is luma-based."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = 0
+    num, den = 25, 1
+    cs = "C420jpeg"  # spec default when no C tag is present
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        t, val = tag[:1], tag[1:].decode("ascii", "replace")
+        if t == b"W":
+            w = int(val)
+        elif t == b"H":
+            h = int(val)
+        elif t == b"F":
+            num, den = (int(x) for x in val.split(":"))
+        elif t == b"C":
+            cs = "C" + val
+    if w <= 0 or h <= 0 or den <= 0:
+        raise ValueError("bad Y4M dimensions/framerate")
+    ysize = w * h
+    step = ysize + _y4m_chroma_bytes(w, h, cs)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + step > len(payload):
+            raise ValueError("truncated frame data")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=ysize,
+                          offset=pos).reshape(h, w)
+        )
+        pos += step
+    if not frames:
+        raise ValueError("zero frames")
+    return np.stack(frames), num / den
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1,
+               mono: bool = True) -> bytes:
+    """(n_frames, h, w) uint8 luma -> Y4M bytes (``Cmono``, or ``C420jpeg``
+    with neutral 128-valued chroma when ``mono=False``)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3 or frames.shape[0] == 0:
+        raise ValueError("need (n_frames, h, w) uint8")
+    n, h, w = frames.shape
+    cs = b"Cmono" if mono else b"C420jpeg"
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps_num, fps_den, cs)]
+    chroma = b"" if mono else bytes([128]) * (2 * ((w + 1) // 2) * ((h + 1) // 2))
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].tobytes())
+        out.append(chroma)
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------------

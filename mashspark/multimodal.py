@@ -2,9 +2,10 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 Decode is REAL for codec-free container formats — WAV PCM/float audio,
-uncompressed 24-bit BMP, binary PNM (``codecs.py``, pure numpy, magic-
-byte dispatch in ``decode_media``) — plus a real area-mean resize and a
-real audio energy/autocorrelation plane. Compressed formats (JPEG, PNG,
+uncompressed 24-bit BMP, binary PNM, Y4M uncompressed video
+(``codecs.py``, pure numpy, magic-byte dispatch in ``decode_media``) —
+plus a real area-mean resize, a real audio energy/autocorrelation
+plane, and real video frame sampling (``sample_video_frames``). Compressed formats (JPEG, PNG,
 MP3, MP4) route to the documented STUB (``_decode_image_stub``) because
 this container ships no codec libraries; a real deployment plugs
 Pillow/libvips/ffmpeg into that branch. Everything Spark-side is real
@@ -21,8 +22,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
 
 from .hashing import murmur3_x64_128_h1
 
@@ -82,6 +84,10 @@ def decode_media(payload: bytes) -> np.ndarray:
         if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _rate = codecs.decode_wav(payload)
             return codecs.audio_energy_plane(samples)
+        if payload[:9] == b"YUV4MPEG2":
+            frames, _fps = codecs.decode_y4m(payload)
+            # whole-video feature: temporal mean of the luma planes
+            return frames.mean(axis=0).astype(np.float32) / 255.0
         if payload[:2] == b"BM":
             img = codecs.decode_bmp(payload)
             return img.mean(axis=2).astype(np.float32) / 255.0
@@ -141,6 +147,75 @@ def extract_media_features(media: DataFrame, batch_target_rows: int = 256) -> Da
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("frame_mean", DoubleType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def sample_frame_indices(n_frames: int, n_sample: int) -> np.ndarray:
+    """Deterministic uniform frame sampling: k = min(n_sample, n_frames)
+    indices ``floor(i*(n_frames-1)/(k-1) + 0.5)`` for i in 0..k-1 (just
+    index 0 when k == 1) — strictly increasing, endpoints always
+    included, and simple enough that an oracle can recompute it in SQL."""
+    k = min(n_sample, n_frames)
+    if k <= 0:
+        return np.zeros(0, dtype=np.int64)
+    if k == 1:
+        return np.zeros(1, dtype=np.int64)
+    i = np.arange(k, dtype=np.float64)
+    return np.floor(i * (n_frames - 1) / (k - 1) + 0.5).astype(np.int64)
+
+
+def sample_video_frames(media: DataFrame, n_sample: int = 4,
+                        payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Video frame sampling: decode each Y4M payload (real codec), keep
+    ``n_sample`` uniformly spaced frames, and emit one row per kept frame
+    with its luma mean and pooled feature — the multimodal spec's
+    'frame-sample' verb as an Arrow-batched mapInPandas (one Python call
+    per batch of payloads; frames never become Spark rows before
+    sampling, so a 10k-frame video costs n_sample output rows).
+
+    Undecodable payloads degrade to a single stub frame (frame_idx 0,
+    n_frames 0) — corrupt rows are data, not job failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_y4m
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "n_frames", "frame_mean", "feature")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    frames, _fps = decode_y4m(b)
+                except ValueError:
+                    plane = _decode_image_stub(b)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(0)
+                    out["n_frames"].append(0)
+                    out["frame_mean"].append(float(plane.astype(np.float64).mean()))
+                    out["feature"].append(_feature_from_plane(plane))
+                    continue
+                nf = frames.shape[0]
+                for idx in sample_frame_indices(nf, n_sample):
+                    plane = frames[idx].astype(np.float64) / 255.0
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(int(idx))
+                    out["n_frames"].append(nf)
+                    out["frame_mean"].append(float(plane.mean()))
+                    out["feature"].append(_feature_from_plane(plane))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
 
 
 def media_exact_dups(features: DataFrame) -> DataFrame:

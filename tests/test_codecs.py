@@ -123,3 +123,87 @@ def test_decode_media_dispatch():
     assert np.array_equal(decode_media(junk), _decode_image_stub(junk))
     corrupt = codecs.encode_bmp(img)[:40]
     assert np.array_equal(decode_media(corrupt), _decode_image_stub(corrupt))
+
+
+def test_y4m_roundtrip_mono_and_c420():
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(6, 12, 16), dtype=np.uint8)
+    for mono in (True, False):
+        payload = codecs.encode_y4m(frames, fps_num=30, fps_den=1, mono=mono)
+        got, fps = codecs.decode_y4m(payload)
+        np.testing.assert_array_equal(got, frames)
+        assert fps == 30.0
+
+
+def test_y4m_odd_dims_and_default_colorspace():
+    # odd w/h exercise the ceil-division chroma sizing; a header without
+    # a C tag must default to C420jpeg per the spec
+    frames = np.arange(2 * 7 * 9, dtype=np.uint8).reshape(2, 7, 9)
+    payload = codecs.encode_y4m(frames, mono=False)
+    assert b"C420jpeg" in payload
+    no_c = payload.replace(b" C420jpeg", b"", 1)
+    got, _ = codecs.decode_y4m(no_c)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_y4m_rejects_malformed():
+    frames = np.zeros((1, 4, 4), dtype=np.uint8)
+    good = codecs.encode_y4m(frames)
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(b"JUNK" + good[4:])
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(good[:-3])  # truncated frame data
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(good[: good.find(b"\n") + 1])  # zero frames
+
+
+def test_decode_media_routes_y4m_to_temporal_mean():
+    f0 = np.full((4, 4), 10, dtype=np.uint8)
+    f1 = np.full((4, 4), 30, dtype=np.uint8)
+    plane = decode_media(codecs.encode_y4m(np.stack([f0, f1])))
+    np.testing.assert_allclose(plane, np.full((4, 4), 20.0 / 255.0), rtol=1e-6)
+
+
+def test_sample_frame_indices():
+    from mashspark.multimodal import sample_frame_indices
+
+    # fewer frames than samples: every frame, in order
+    np.testing.assert_array_equal(sample_frame_indices(3, 4), [0, 1, 2])
+    # k == 1 and empty
+    np.testing.assert_array_equal(sample_frame_indices(5, 1), [0])
+    assert len(sample_frame_indices(0, 4)) == 0
+    # uniform spread includes both endpoints, strictly increasing
+    idx = sample_frame_indices(10, 4)
+    np.testing.assert_array_equal(idx, [0, 3, 6, 9])
+    assert (np.diff(sample_frame_indices(100, 7)) > 0).all()
+
+
+def test_sample_video_frames_end_to_end(spark):
+    from mashspark.multimodal import sample_video_frames
+
+    rows = []
+    for mid in range(8):
+        nf = 3 + mid % 5
+        frames = np.stack([
+            np.full((6, 8), (mid * 7 + f * 13) % 256, dtype=np.uint8)
+            for f in range(nf)
+        ])
+        rows.append((mid, bytearray(codecs.encode_y4m(frames))))
+    rows.append((99, bytearray(b"not a video at all")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sample_video_frames(df, n_sample=4).collect()
+
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid in range(8):
+        nf = 3 + mid % 5
+        rs = sorted(by_id[mid], key=lambda r: r.frame_idx)
+        assert len(rs) == min(4, nf)
+        for r in rs:
+            assert r.n_frames == nf
+            want = ((mid * 7 + r.frame_idx * 13) % 256) / 255.0
+            assert abs(r.frame_mean - want) < 1e-12
+            assert len(r.feature) == 16
+    # corrupt payload degrades to one stub frame, not a task failure
+    assert len(by_id[99]) == 1 and by_id[99][0].n_frames == 0
