@@ -34,6 +34,74 @@ def explode_bands(sketches: DataFrame) -> DataFrame:
     return sketches.select("doc_id", F.explode("band_key").alias("band_key"))
 
 
+def lsh_recall(jaccard: float, prefix: int, bands: int) -> float:
+    """Closed-form candidate recall of residue-class banding at a given
+    true Jaccard: a band matches iff the two docs' sketch members in that
+    residue class are identical, which at union-sketch overlap
+    f = 2j/(1+j) happens with probability ~ f**(u/bands) for u = prefix
+    (each band holds u/bands union elements in expectation); the pair is
+    a candidate if ANY band matches. See ``params.LSHParams`` for why
+    residue-class banding (not positional bands / extra permutations)."""
+    if jaccard <= 0.0:
+        return 0.0
+    if jaccard >= 1.0:
+        return 1.0
+    f = 2.0 * jaccard / (1.0 + jaccard)
+    per_band = f ** (prefix / bands)
+    return 1.0 - (1.0 - per_band) ** bands
+
+
+def tune_lsh_params(threshold: float, s: int = 1000,
+                    target_recall: float = 0.999,
+                    background_jaccard: float = 0.1):
+    """Solve for the cheapest (prefix, bands) meeting ``target_recall``
+    at the dedup threshold — the knob a 100 TB operator actually turns.
+
+    Cost model: the LSH stage's shuffle volume is ``bands`` exploded
+    rows/doc and its false-candidate volume is driven by the recall the
+    scheme leaks at sub-threshold similarity, so among configs meeting
+    the target at ``threshold`` we pick the minimum ``bands``, breaking
+    ties toward the LARGER prefix (more union elements per band = sharper
+    per-band rejection of background pairs). Search space: power-of-two
+    prefixes <= s and power-of-two band counts <= prefix (the residue
+    mask ``h & (bands-1)`` requires a power of two).
+
+    Returns (params.LSHParams, diagnostics dict with the predicted recall
+    at the threshold and at ``background_jaccard``).
+    """
+    from .params import LSHParams
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    prefixes = [p for p in (32, 64, 128, 256, 512, 1024, 2048, 4096) if p <= s]
+    if not prefixes:
+        raise ValueError(f"sketch size {s} too small to band")
+    for prefix in prefixes:
+        for bands in (8, 16, 32, 64, 128, 256):
+            if bands > prefix:
+                continue
+            r = lsh_recall(threshold, prefix, bands)
+            if r < target_recall:
+                continue
+            leak = lsh_recall(background_jaccard, prefix, bands)
+            key = (bands, -prefix, leak)
+            if best is None or key < best[0]:
+                best = (key, prefix, bands, r, leak)
+    if best is None:
+        raise ValueError(
+            f"no (prefix<={s}, bands<=256) config reaches recall "
+            f"{target_recall} at jaccard {threshold}; lower the target or "
+            f"increase the sketch size")
+    _, prefix, bands, recall, leak = best
+    return (
+        LSHParams(bands=bands, prefix=prefix),
+        {"predicted_recall": recall,
+         "background_leak": leak,
+         "exploded_rows_per_doc": bands},
+    )
+
+
 def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
                     hard_bucket_cap: int = 100_000, eager: bool = False):
     """Distinct candidate (id_a, id_b) pairs, id_a < id_b, plus skew metrics.

@@ -506,3 +506,68 @@ def test_semantic_dedup_no_dups_yields_empty(spark):
     df, _ = _synth_dup_embeddings(spark)
     singles = df.filter(F.col("vec_id") >= 11)  # drop the planted groups
     assert semantic_dedup(singles, min_cos=0.95, exact=True).count() == 0
+
+
+# --- LSH parameter tuning ---
+
+
+def test_lsh_recall_closed_form_properties():
+    from mashspark.lsh import lsh_recall
+
+    assert lsh_recall(0.0, 128, 32) == 0.0
+    assert lsh_recall(1.0, 128, 32) == 1.0
+    # monotone in jaccard; the documented default operating points
+    js = [0.1, 0.3, 0.5, 0.7, 0.9]
+    rs = [lsh_recall(j, 128, 32) for j in js]
+    assert all(a < b for a, b in zip(rs, rs[1:]))
+    assert lsh_recall(0.7, 128, 32) > 0.999
+    assert lsh_recall(0.1, 128, 32) < 0.05
+    # more bands (fixed prefix) can only increase recall
+    assert lsh_recall(0.5, 128, 64) > lsh_recall(0.5, 128, 16)
+
+
+def test_tune_lsh_params_meets_target_and_is_minimal():
+    from mashspark.lsh import lsh_recall, tune_lsh_params
+
+    cfg, diag = tune_lsh_params(0.7, s=1000, target_recall=0.999)
+    assert diag["predicted_recall"] >= 0.999
+    assert diag["background_leak"] < 0.05
+    assert cfg.bands & (cfg.bands - 1) == 0  # residue mask needs 2^k
+    assert cfg.prefix <= 1000
+    # minimality: no admissible config with fewer bands exists
+    for prefix in (32, 64, 128, 256, 512):
+        for bands in (8, 16, 32, 64, 128, 256):
+            if bands < cfg.bands and bands <= prefix <= 1000:
+                assert lsh_recall(0.7, prefix, bands) < 0.999
+    # impossible target must raise, not silently under-deliver
+    with pytest.raises(ValueError):
+        tune_lsh_params(0.02, s=32, target_recall=0.999999)
+
+
+def test_tuned_config_recall_monte_carlo_real_band_keys():
+    """The tuned config must deliver its promised recall on sketches run
+    through the REAL band-key kernel: pairs constructed at jaccard 0.7
+    (shared fraction m = 2*P*j/(1+j) of each prefix sketch) collide in
+    >= target_recall of trials, and background pairs at jaccard 0.1
+    stay rare."""
+    from mashspark.lsh import tune_lsh_params
+    from mashspark.sketch import compute_band_keys
+
+    cfg, _ = tune_lsh_params(0.7, s=1000, target_recall=0.999)
+    rng = np.random.default_rng(17)
+
+    def collide_rate(j, trials=400):
+        p = cfg.prefix
+        m = int(round(2 * p * j / (1 + j)))
+        hits = 0
+        for _ in range(trials):
+            pool = rng.integers(0, 2**64, size=2 * p - m, dtype=np.uint64)
+            shared, xa, xb = pool[:m], pool[m:p], pool[p:]
+            ka = compute_band_keys(np.sort(np.r_[shared, xa]), cfg.bands)
+            kb = compute_band_keys(np.sort(np.r_[shared, xb]), cfg.bands)
+            if len(np.intersect1d(ka, kb)):
+                hits += 1
+        return hits / trials
+
+    assert collide_rate(0.7) >= 0.99
+    assert collide_rate(0.1) <= 0.10
