@@ -262,12 +262,37 @@ def cmd_bounds(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_tune(spark: SparkSession, args) -> int:
+    """LSH planner (beyond the reference): solve the cheapest residue-class
+    banding config meeting the recall target at the dedup threshold, and
+    print the predicted operating point (driver-side closed form, no job)."""
+    from .lsh import tune_lsh_params
+
+    lshp, diag = tune_lsh_params(args.jaccard, s=args.sketch_size,
+                                 target_recall=args.recall)
+    print(json.dumps({
+        "jaccard_threshold": args.jaccard, "sketch_size": args.sketch_size,
+        "target_recall": args.recall, "prefix": lshp.prefix,
+        "bands": lshp.bands, **diag,
+    }))
+    return 0
+
+
 def cmd_dedup(spark: SparkSession, args) -> int:
     """The flagship webtext pipeline (beyond the reference): docs ->
     near-dup pairs + connected-component cluster ids (sketch -> LSH ->
     Mash-exact verify -> CC), outputs parquet + TSV + metrics JSON."""
     params = _sketch_params(args)
+    lsh = LSHParams()
+    if args.tune_lsh:
+        from .lsh import tune_lsh_params
+
+        lsh, diag = tune_lsh_params(args.jaccard, s=params.s)
+        print(f"tuned LSH: prefix={lsh.prefix} bands={lsh.bands} "
+              f"(predicted recall {diag['predicted_recall']:.6f})",
+              file=sys.stderr)
     cfg = PipelineConfig(sketch=params,
+                         lsh=lsh,
                          jaccard_threshold=args.jaccard,
                          max_distance=args.max_dist,
                          max_pvalue=args.max_pvalue)
@@ -407,11 +432,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="parquet document directory to stream")
     p.set_defaults(fn=cmd_stream, min_copies=1)
 
+    p = sub.add_parser("tune", help="solve the LSH band config for a recall target")
+    _add_sketch_flags(p)
+    p.add_argument("-j", "--jaccard", type=float, default=0.7)
+    p.add_argument("-r", "--recall", type=float, default=0.999)
+    p.set_defaults(fn=cmd_tune, min_copies=1)
+
     p = sub.add_parser("dedup", help="near-dup pairs + cluster ids (flagship)")
     _add_sketch_flags(p)
     p.add_argument("-j", "--jaccard", type=float, default=0.7)
     p.add_argument("-d", "--max-dist", type=float, default=None)
     p.add_argument("-v", "--max-pvalue", type=float, default=None)
+    p.add_argument("--tune-lsh", action="store_true",
+                   help="solve the band config for the -j threshold")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_dedup, min_copies=1)

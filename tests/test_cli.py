@@ -195,3 +195,13 @@ def test_cli_stream_incremental(spark, docs_parquet, tmp_path, capsys):
     dups = {r["doc_id"]: r["dup_of"]
             for r in dec2.filter("dup_of is not null").collect()}
     assert dups == {i: i - 6 for i in range(6, 12)}  # each twin -> its original
+
+
+def test_cli_tune_prints_solution(capsys):
+    assert cli.main(["tune", "-j", "0.7", "-s", "1000", "-r", "0.999"]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["predicted_recall"] >= 0.999
+    assert out["bands"] & (out["bands"] - 1) == 0
+    assert out["prefix"] <= 1000
