@@ -109,6 +109,24 @@ def main() -> None:
         plan(substring_dup_pairs(docs, min_len=40, stride=8), "simple"),
     ))
 
+    from mashspark.ann import embedding_dup_pairs
+
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.xxhash64("doc_id") % 1000 + i).cast("float")
+                    ).alias("embedding"),
+    )
+    sections.append((
+        "Embedding near-dup candidates (SRP buckets, no cross join)",
+        "semantic dedup's pair stage: one ArrowEvalPython computes the "
+        "SRP bucket ids, candidates come from a bucket EQUI-join (never "
+        "CartesianProduct/BroadcastNestedLoop), and the exact cosine "
+        "filter is a JVM column expression inside codegen.",
+        plan(embedding_dup_pairs(emb, min_cos=0.9, n_tables=4, dim=8),
+             "simple"),
+    ))
+
     out = [
         "# Physical plans of the core pipeline stages",
         "",
