@@ -127,3 +127,38 @@ def test_distance_identity_bounds(common, denom, k):
     # more sharing never increases distance
     if common < denom:
         assert compare.mash_distance(common + 1, denom, k) <= d
+
+
+@given(
+    st.integers(1, 5), st.integers(1, 24), st.integers(1, 24),
+    st.booleans(), st.integers(1, 60), st.integers(1, 4),
+)
+@settings(max_examples=120, deadline=None)
+def test_y4m_roundtrip_any_shape(n, h, w, mono, fps_num, fps_den):
+    """Y4M encode->decode is lossless for every frame-count/shape/
+    colorspace/framerate combination (goldens cover a handful)."""
+    from mashspark.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(n * 1_000_003 + h * 1009 + w)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    got, fps = decode_y4m(encode_y4m(frames, fps_num, fps_den, mono=mono))
+    assert (got == frames).all()
+    assert abs(fps - fps_num / fps_den) < 1e-12
+
+
+@given(st.integers(0, 500), st.integers(1, 64))
+@settings(max_examples=300, deadline=None)
+def test_sample_frame_indices_properties(n_frames, n_sample):
+    """Uniform frame sampling: exactly min(n_sample, n_frames) indices,
+    strictly increasing, in range, endpoints included when k > 1."""
+    from mashspark.multimodal import sample_frame_indices
+
+    idx = sample_frame_indices(n_frames, n_sample)
+    k = min(n_sample, n_frames)
+    assert len(idx) == k
+    if k:
+        assert idx[0] == 0
+        assert (idx >= 0).all() and (idx < n_frames).all()
+        if k > 1:
+            assert idx[-1] == n_frames - 1
+            assert (np.diff(idx) > 0).all()
