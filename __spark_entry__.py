@@ -565,6 +565,20 @@ def _q_substring_dup_doc_pairs(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def _q_substring_removal(spark, sf_dir):
+    """Lee-et-al-style exact-substring REMOVAL (substring.remove_shared_spans):
+    per-doc cut decisions over the same fixture slice as
+    substring_dup_doc_pairs. Murmur-anchored span merging -> rows-only
+    (the span-detection layer underneath is oracle-checked by
+    substring_dup_doc_pairs; the cut round-trip — exactly one occurrence
+    of every long repeat survives — is pinned by pytest)."""
+    from mashspark.substring import remove_shared_spans
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    out = remove_shared_spans(d, min_len=25, stride=1)
+    return out.select("doc_id", "n_removed_spans", "n_removed_bytes")
+
+
 def _q_screen_wta(spark, sf_dir):
     """A9 winner-take-all screen (rows-only: murmur-based)."""
     from mashspark.screen import screen
@@ -830,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "screen_wta": _q_screen_wta,
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
+        "substring_removal": _q_substring_removal,
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,

@@ -45,7 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
 
 from .hashing import encode_signed, hash_shingles_concat
 
@@ -227,6 +228,91 @@ def substring_dup_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
         .drop("run_id")
     )
     return runs, metrics
+
+
+def remove_shared_spans(docs: DataFrame, min_len: int = 50, stride: int = 16,
+                        seed: int = 42, id_col: str = "doc_id",
+                        text_col: str = "text", **kw) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022 cut the
+    duplicated spans out of the training text; the span finder above only
+    reports them): every cross-document repeat of length >= min_len is
+    cut from all occurrences EXCEPT the one in the smallest doc_id, so
+    exactly one copy of each long repeat survives the corpus.
+
+    Scale shape: span discovery is ``substring_dup_spans`` (linear anchor
+    shuffle); the cuts group to their victim doc with one
+    ``groupBy(doc_id).agg(collect_list(...))`` — per-doc interval counts
+    are bounded by the span finder's bucket caps — and splicing is one
+    Arrow batch pass over only the AFFECTED docs (untouched docs pass
+    through a left join, their text column never enters Python).
+
+    Cut boundaries snap outward to UTF-8 character boundaries (anchor
+    positions are byte offsets), so output text is always valid and the
+    full span is removed (at most 3 extra bytes per edge).
+
+    Output: (doc_id, text, n_removed_spans, n_removed_bytes).
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    spans, _metrics = substring_dup_spans(
+        base, min_len=min_len, stride=stride, seed=seed, **kw)
+    # keep the id_a (smaller id) occurrence; cut from id_b
+    cuts = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.struct(
+            F.col("b_start").alias("start"),
+            (F.col("b_start") + F.col("match_len")).alias("end"),
+        ).alias("iv"),
+    ).groupBy("doc_id").agg(F.collect_list("iv").alias("ivs"))
+
+    splice_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("n_removed_spans", LongType(), False),
+        StructField("n_removed_bytes", LongType(), False),
+    ])
+
+    def splice(batches):
+        for pdf in batches:
+            out_text, out_ns, out_nb = [], [], []
+            for text, ivs in zip(pdf["text"], pdf["ivs"]):
+                buf = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                n = len(buf)
+                # merge overlapping intervals (sweep over sorted starts)
+                merged = []
+                for iv in sorted((int(i["start"]), int(i["end"])) for i in ivs):
+                    s, e = max(0, iv[0]), min(n, iv[1])
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                is_boundary = (buf & 0xC0) != 0x80
+                keep = np.ones(n, dtype=bool)
+                for s, e in merged:
+                    while s > 0 and not is_boundary[s]:
+                        s -= 1          # snap start back to a char boundary
+                    while e < n and not is_boundary[e]:
+                        e += 1          # snap end forward to a char boundary
+                    keep[s:e] = False
+                out_text.append(buf[keep].tobytes().decode("utf-8"))
+                out_ns.append(len(merged))
+                out_nb.append(int(n - keep.sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": out_text,
+                "n_removed_spans": out_ns,
+                "n_removed_bytes": out_nb,
+            })
+
+    affected = (
+        base.join(cuts, "doc_id")
+        .mapInPandas(splice, splice_schema)
+    )
+    untouched = (
+        base.join(cuts.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("n_removed_spans", F.lit(0).cast("long"))
+        .withColumn("n_removed_bytes", F.lit(0).cast("long"))
+    )
+    return untouched.unionByName(affected)
 
 
 def substring_dup_pairs(docs: DataFrame, min_len: int = 50, stride: int = 16,

@@ -571,3 +571,68 @@ def test_tuned_config_recall_monte_carlo_real_band_keys():
 
     assert collide_rate(0.7) >= 0.99
     assert collide_rate(0.1) <= 0.10
+
+
+# --- exact-substring span REMOVAL (Lee et al. cut step) ---
+
+
+def _substr_corpus(spark):
+    """Docs 0, 2, 3 share an 80-char block; docs 1, 4 are unique filler."""
+    rng = np.random.default_rng(23)
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 6))
+            for _ in range(n)
+        )
+
+    block = "the exact same eighty byte long boilerplate block repeated " \
+            "verbatim in three docs"
+    rows = [
+        (0, words(20) + " " + block + " " + words(20)),
+        (1, words(45)),
+        (2, words(25) + " " + block + " " + words(15)),
+        (3, block + " " + words(40)),
+        (4, words(45)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), block
+
+
+def test_remove_shared_spans_keeps_one_occurrence(spark):
+    from mashspark.substring import remove_shared_spans, substring_dup_pairs
+
+    docs, block = _substr_corpus(spark)
+    cleaned = remove_shared_spans(docs, min_len=40, stride=1)
+    got = {r.doc_id: r for r in cleaned.collect()}
+    assert len(got) == 5
+    # smallest doc id keeps its occurrence; others lose theirs
+    assert block in got[0].text and got[0].n_removed_bytes == 0
+    for d in (2, 3):
+        assert block not in got[d].text
+        assert got[d].n_removed_bytes >= len(block)
+        assert got[d].n_removed_spans >= 1
+    # untouched docs pass through byte-identical
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert got[1].text == orig[1] and got[4].text == orig[4]
+    # the cleaned corpus has NO cross-document repeat >= min_len left
+    again = substring_dup_pairs(
+        cleaned.select("doc_id", "text"), min_len=40, stride=1)
+    assert again.count() == 0
+
+
+def test_remove_shared_spans_snaps_to_utf8_boundaries(spark):
+    from mashspark.substring import remove_shared_spans
+
+    shared = "αβγδε ζηθικ λμνξο πρστυ φχψω αβγδε ζηθικ λμνξο"  # 2-byte chars
+    rows = [
+        (0, "first unique prefix " + shared + " first unique suffix"),
+        (1, "second distinct intro " + shared + " second distinct outro"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_shared_spans(docs, min_len=30, stride=1).collect()}
+    assert shared in got[0].text
+    assert shared not in got[1].text
+    # output is valid text containing the intact unique parts
+    assert "second distinct intro" in got[1].text.replace("  ", " ") or \
+           "second distinct" in got[1].text
