@@ -443,6 +443,19 @@ def _q_semantic_dup_clusters(spark, sf_dir):
     return semantic_dedup(v, min_cos=0.4, exact=True)
 
 
+def _q_text_vector_dup_groups(spark, sf_dir):
+    """Text -> in-engine hashing-TF vectors -> SRP-bucketed semantic
+    dedup, end to end (no model embeddings needed). murmur3-32 term
+    bucketing + seeded SRP planes -> rows-only; the bridge semantics are
+    pinned by pytest and the components by their own oracle rows."""
+    from mashspark.ann import semantic_dedup
+    from mashspark.textstats import hashing_tf_vectors
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    vecs = hashing_tf_vectors(d, dim=256).withColumnRenamed("doc_id", "vec_id")
+    return semantic_dedup(vecs, min_cos=0.9, n_bits=6, n_tables=8)
+
+
 def _q_srp_bucket_stats(spark, sf_dir):
     """SRP-LSH bucket-size distribution (the ANN scale path's partitioning
     behavior; murmur-free but plane-seed-dependent, so rows-only)."""
@@ -836,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "semantic_dup_clusters": _q_semantic_dup_clusters,
+        "text_vector_dup_groups": _q_text_vector_dup_groups,
         "srp_bucket_stats": _q_srp_bucket_stats,
         "screen_boilerplate": _q_screen_boilerplate,
         "count_histogram": _q_count_histogram,

@@ -167,3 +167,42 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
     (no Arrow round-trip, no per-row Python). Anything needing Mash's
     murmur3 semantics goes through ``sketch.py``."""
     return df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("fp64"))
+
+
+def hashing_tf_vectors(docs: DataFrame, dim: int = 256,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Text -> L2-normalized hashing-TF document vector (array<float>):
+    the in-engine bridge from the text path to the embedding path
+    (ANN / semantic dedup) when no model embeddings exist — the
+    HashingVectorizer pattern, entirely JVM-side via MLlib's HashingTF
+    (murmur3-32 term bucketing, no vocabulary state, so the map is
+    identical on every executor and every corpus — exactly what a
+    10^12-doc pipeline needs; no fit step, no driver-held dictionary).
+
+    Output: (id_col, embedding array<float>), zero vectors for empty
+    text kept as zeros (cosine guards live in the consumers).
+    """
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_toks"),
+    )
+    tf = HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=dim)
+    vec = tf.transform(toks).select(
+        id_col, vector_to_array(F.col("_tf")).alias("_arr")
+    )
+    norm = F.sqrt(F.aggregate("_arr", F.lit(0.0), lambda a, x: a + x * x))
+    return vec.select(
+        F.col(id_col),
+        F.transform(
+            "_arr",
+            lambda x: (x / F.when(norm > 0.0, norm).otherwise(F.lit(1.0)))
+            .cast("float"),
+        ).alias("embedding"),
+    )

@@ -636,3 +636,43 @@ def test_remove_shared_spans_snaps_to_utf8_boundaries(spark):
     # output is valid text containing the intact unique parts
     assert "second distinct intro" in got[1].text.replace("  ", " ") or \
            "second distinct" in got[1].text
+
+
+# --- hashing-TF text vectors -> semantic dedup bridge ---
+
+
+def test_hashing_tf_vectors_semantic_dedup_bridge(spark):
+    """Raw text -> hashing-TF vectors -> semantic_dedup groups the
+    near-identical texts and leaves distinct ones alone; vectors are
+    L2-normalized and deterministic across partitionings."""
+    from mashspark.ann import semantic_dedup
+    from mashspark.textstats import hashing_tf_vectors
+
+    base = ("the quick brown fox jumps over the lazy dog near the " * 8)
+    rows = [
+        (0, base + "riverbank today"),
+        (1, base + "riverbank yesterday"),          # near-dup of 0
+        (2, "completely different text about spark shuffles and "
+            "partition pruning at terabyte scale " * 6),
+        (3, ""),                                    # empty -> zero vector
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashing_tf_vectors(docs, dim=128).withColumnRenamed(
+        "doc_id", "vec_id")
+    got = {r.vec_id: np.asarray(r.embedding) for r in vecs.collect()}
+    for vid in (0, 1, 2):
+        assert abs(np.linalg.norm(got[vid]) - 1.0) < 1e-5
+    assert np.linalg.norm(got[3]) == 0.0
+    assert float(got[0] @ got[1]) > 0.95
+    assert float(got[0] @ got[2]) < 0.5
+
+    groups = semantic_dedup(vecs.filter("vec_id < 3"), min_cos=0.95,
+                            exact=True).collect()
+    assert {(r.vec_id, r.rep_id) for r in groups} == {(0, 0), (1, 0)}
+
+    # determinism across partitionings (stateless hashing, no fit step)
+    again = {r.vec_id: np.asarray(r.embedding)
+             for r in hashing_tf_vectors(docs.repartition(5), dim=128)
+             .withColumnRenamed("doc_id", "vec_id").collect()}
+    for vid in got:
+        np.testing.assert_allclose(got[vid], again[vid], rtol=0, atol=0)
