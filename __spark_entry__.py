@@ -819,6 +819,61 @@ def _q_extract_roundtrip(spark, sf_dir):
     )
 
 
+# deterministic-sampling contract constants, shared verbatim between the
+# Spark queries and their DuckDB oracles (parity requires the SAME
+# thresholds/literals on both sides; see mashspark/sampling.py)
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRAT_RATES = {"en": 0.25, "zh": 1.0, "de": 0.5}
+_STRAT_DEFAULT = 0.6
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TEMP = 2.0
+
+
+def _q_split_counts(spark, sf_dir):
+    """Hash-based train/val/test split (sampling.split_assign): stable
+    md5-prefix uniform vs integer split bounds, map-only. Counts per
+    (split, lang) so the oracle checks every assignment."""
+    from mashspark.sampling import split_assign
+
+    return (
+        split_assign(_docs(spark, sf_dir), _SPLIT_FRACS, salt="split:42")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_stratified_sample_ids(spark, sf_dir):
+    """Per-language deterministic downsampling (sampling.stratified_sample):
+    en kept at 25%, zh 100%, de 50%, everything else 60%."""
+    from mashspark.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _STRAT_RATES, strata_col="lang",
+        default_rate=_STRAT_DEFAULT, salt="sample:42",
+    ).select("doc_id", "lang")
+
+
+def _q_domain_topk_sample(spark, sf_dir):
+    """k-per-group uniform sample in hash order (sampling.group_topk_sample,
+    WindowGroupLimit scale path): 3 docs per source."""
+    from mashspark.sampling import group_topk_sample
+
+    return group_topk_sample(
+        _docs(spark, sf_dir), k=3, group_col="source", salt="topk:42"
+    ).select("doc_id", "source", "sample_rank")
+
+
+def _q_mixture_plan_rollup(spark, sf_dir):
+    """Temperature-scaled epoch-mixing plan (sampling.mixture_plan):
+    per-source target fraction + epochs_per_doc at T=2."""
+    from mashspark.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, strata_col="source",
+        temperature=_MIX_TEMP,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -866,6 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
         "extract_roundtrip": _q_extract_roundtrip,
+        "split_counts": _q_split_counts,
+        "stratified_sample_ids": _q_stratified_sample_ids,
+        "domain_topk_sample": _q_domain_topk_sample,
+        "mixture_plan_rollup": _q_mixture_plan_rollup,
     }
 
 
@@ -911,6 +970,48 @@ _LANG_ID_SQL = f"""
                 ELSE 'fr' END AS lang_pred
     FROM s
 """
+
+
+def _samp_u_sql(salt: str) -> str:
+    """DuckDB equivalent of sampling.hash_uniform: md5-prefix integer."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), "
+        f"1, 8)) AS BIGINT)"
+    )
+
+
+def _split_case_sql() -> str:
+    """Split CASE arms with the SAME float-accumulated integer bounds as
+    sampling.split_assign (cum is accumulated in python float on both
+    sides, so boundary values agree bit-for-bit)."""
+    names = list(_SPLIT_FRACS)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name]
+        arms.append(f"WHEN u < {int(cum * (1 << 32))} THEN '{name}'")
+    return " ".join(arms) + f" ELSE '{names[-1]}'"
+
+
+def _strat_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{v}' THEN {int(r * (1 << 32))}"
+        for v, r in _STRAT_RATES.items()
+    )
+    return arms + f" ELSE {int(_STRAT_DEFAULT * (1 << 32))}"
+
+
+def _mix_plan_values_sql() -> str:
+    """VALUES rows for the mixture plan with repr()-exact double literals
+    mirroring sampling.mixture_plan's python math at _MIX_TEMP."""
+    tw = {k: w ** (1.0 / _MIX_TEMP) for k, w in _MIX_WEIGHTS.items()}
+    z = sum(tw.values())
+    rows = ", ".join(
+        f"('{k}', CAST('{w!r}' AS DOUBLE), CAST('{tw[k] / z!r}' AS DOUBLE))"
+        for k, w in _MIX_WEIGHTS.items()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS v(source, weight, target_frac)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1683,5 +1784,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(t) AS BIGINT) AS ext_n_chars,
                    (t = text || ' &') AS matches
             FROM ext
+        """,
+        "split_counts": f"""
+            WITH u AS (
+                SELECT lang, {_samp_u_sql('split:42')} AS u FROM documents
+            )
+            SELECT CASE {_split_case_sql()} END AS split, lang,
+                   count(*) AS n_docs
+            FROM u GROUP BY 1, 2
+        """,
+        "stratified_sample_ids": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_samp_u_sql('sample:42')} < CASE lang {_strat_case_sql()} END
+        """,
+        "domain_topk_sample": f"""
+            SELECT doc_id, source, sample_rank FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY {_samp_u_sql('topk:42')} ASC, doc_id ASC
+                ) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 3
+        """,
+        # plan literals are the SAME python-computed doubles the Spark
+        # side embeds (repr round-trips exactly; string->double parse is
+        # correctly rounded), so epochs_per_doc is bit-identical
+        "mixture_plan_rollup": f"""
+            WITH counts AS (
+                SELECT source, count(*) AS n_docs FROM documents
+                GROUP BY source
+            ),
+            total AS (SELECT count(*) AS t FROM documents),
+            plan AS ({_mix_plan_values_sql()})
+            SELECT c.source, c.n_docs, p.weight, p.target_frac,
+                   p.target_frac * CAST(t.t AS DOUBLE) / c.n_docs
+                       AS epochs_per_doc
+            FROM counts c JOIN plan p USING (source) CROSS JOIN total t
         """,
     }

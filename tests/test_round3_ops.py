@@ -676,3 +676,117 @@ def test_hashing_tf_vectors_semantic_dedup_bridge(spark):
              .withColumnRenamed("doc_id", "vec_id").collect()}
     for vid in got:
         np.testing.assert_allclose(got[vid], again[vid], rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (mashspark/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def _sample_docs(spark, n=400):
+    rows = [(i, f"doc {i}", ["en", "de", "fr"][i % 3], f"src{i % 4}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    """Same rows -> same split regardless of partitioning; fractions land
+    near nominal; every row is assigned exactly one split."""
+    from mashspark.sampling import split_assign
+
+    docs = _sample_docs(spark)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split
+         for r in split_assign(docs, fr).collect()}
+    b = {r.doc_id: r.split
+         for r in split_assign(docs.repartition(13), fr).collect()}
+    assert a == b and len(a) == 400
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * 400 < n_train < 0.9 * 400
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_stable_under_append(spark):
+    """Adding rows never reshuffles existing assignments (the property
+    df.sample() lacks)."""
+    from mashspark.sampling import split_assign
+
+    fr = {"train": 0.8, "val": 0.2}
+    small = {r.doc_id: r.split
+             for r in split_assign(_sample_docs(spark, 100), fr).collect()}
+    big = {r.doc_id: r.split
+           for r in split_assign(_sample_docs(spark, 400), fr).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum keep-rates honored (1.0 keeps all, 0.0 drops all,
+    default applies to unlisted strata); deterministic across runs."""
+    from mashspark.sampling import stratified_sample
+
+    docs = _sample_docs(spark, 600)
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_rate=0.5)
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts.get("en") == 200
+    assert "de" not in counts
+    assert 50 < counts.get("fr", 0) < 150
+    again = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_rate=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect())
+
+
+def test_group_topk_sample_shape_and_determinism(spark):
+    """Exactly k per group (or the whole group when smaller), ranks
+    1..k, repartition-invariant selection."""
+    from mashspark.sampling import group_topk_sample
+
+    docs = _sample_docs(spark, 200)  # 4 sources x 50
+    out = group_topk_sample(docs, k=7, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert set(by_src) == {"src0", "src1", "src2", "src3"}
+    for ranks in by_src.values():
+        assert sorted(r for r, _ in ranks) == list(range(1, 8))
+    out2 = group_topk_sample(
+        docs.repartition(11), k=7, group_col="source").collect()
+    assert sorted((r.source, r.doc_id) for r in out) == sorted(
+        (r.source, r.doc_id) for r in out2)
+    # tiny group: returns the whole group
+    tiny = spark.createDataFrame(
+        [(1, "a", "en", "s"), (2, "b", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    assert group_topk_sample(tiny, k=7, group_col="source").count() == 2
+
+
+def test_group_topk_plan_has_window_group_limit(spark):
+    """Scale guard: the per-group sample must ride WindowGroupLimit
+    (map-side partial top-k before the shuffle), not a full sort of
+    every group."""
+    from mashspark.sampling import group_topk_sample
+
+    docs = _sample_docs(spark, 200)
+    plan = group_topk_sample(docs, k=3, group_col="source")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_mixture_plan_temperature_math(spark):
+    """T=1 reproduces the raw weights; T->inf flattens toward uniform;
+    epochs_per_doc = target_frac * total / n_docs."""
+    from mashspark.sampling import mixture_plan
+
+    docs = _sample_docs(spark, 400)  # 4 sources x 100
+    w = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    t1 = {r.source: r for r in mixture_plan(docs, w, temperature=1.0).collect()}
+    assert abs(t1["src0"].target_frac - 0.6) < 1e-12
+    assert abs(t1["src0"].epochs_per_doc - 0.6 * 400 / 100) < 1e-9
+    flat = {r.source: r.target_frac
+            for r in mixture_plan(docs, w, temperature=100.0).collect()}
+    assert max(flat.values()) - min(flat.values()) < 0.01
+    with pytest.raises(ValueError):
+        mixture_plan(docs, w, temperature=0.0)
