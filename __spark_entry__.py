@@ -863,6 +863,58 @@ def _q_domain_topk_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_rank")
 
 
+def _pii_seeded(spark, sf_dir):
+    """Fixture docs with deterministic PII appended to 3 of every 4 docs
+    (same construction in the DuckDB oracle): the synthetic corpus has no
+    natural PII, so unseeded queries would be green on all-zeros."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit(" call +1 (555) 123-4567 or 123-45-6789"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" server 10.2.3.44 up"))
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("text", F.concat(F.col("text"), tail))
+
+
+def _q_pii_signal_counts(spark, sf_dir):
+    """Per-doc PII detector counts (pii.pii_signals): map-only JVM regex
+    columns, Java/RE2-common pattern dialect."""
+    from mashspark.pii import pii_signals
+
+    return pii_signals(_pii_seeded(spark, sf_dir))
+
+
+def _q_pii_redacted_texts(spark, sf_dir):
+    """Typed-placeholder redaction (pii.redact_pii), checked bit-exact
+    via md5 of the redacted text."""
+    from mashspark.pii import redact_pii
+
+    out = redact_pii(_pii_seeded(spark, sf_dir))
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("red_md5"), "n_redactions"
+    )
+
+
+def _q_unigram_doc_scores(spark, sf_dir):
+    """Unigram-LM corpus scoring (lm.py): model trained on the even-id
+    half of the fixture, every doc scored against it (odd docs carry
+    real OOV mass). Contract columns are the exact integer stats; the
+    double logprob is pytest-verified (float sums are order-dependent
+    across engines)."""
+    from mashspark.lm import score_documents, unigram_counts
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_documents(docs, model, broadcast_counts=True).select(
+        "doc_id", "n_tokens", "n_invocab", "sum_count"
+    )
+
+
 def _q_mixture_plan_rollup(spark, sf_dir):
     """Temperature-scaled epoch-mixing plan (sampling.mixture_plan):
     per-source target fraction + epochs_per_doc at T=2."""
@@ -925,6 +977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_ids": _q_stratified_sample_ids,
         "domain_topk_sample": _q_domain_topk_sample,
         "mixture_plan_rollup": _q_mixture_plan_rollup,
+        "pii_signal_counts": _q_pii_signal_counts,
+        "pii_redacted_texts": _q_pii_redacted_texts,
+        "unigram_doc_scores": _q_unigram_doc_scores,
     }
 
 
@@ -1012,6 +1067,38 @@ def _mix_plan_values_sql() -> str:
     return (
         f"SELECT * FROM (VALUES {rows}) AS v(source, weight, target_frac)"
     )
+
+
+_PII_SEED_SQL = """
+    SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com now'
+        WHEN 1 THEN ' call +1 (555) 123-4567 or 123-45-6789'
+        WHEN 2 THEN ' server 10.2.3.44 up'
+        ELSE ''
+    END AS text FROM documents
+"""
+
+
+def _pii_counts_sql() -> str:
+    """Per-class count columns from the SAME patterns the Spark op uses
+    (mashspark.pii.PII_PATTERNS) — RE2 and Java agree on this dialect."""
+    from mashspark.pii import PII_PATTERNS
+
+    return ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+
+
+def _pii_redact_sql() -> str:
+    """Nested global regexp_replace in the op's fixed pass order."""
+    from mashspark.pii import PII_PATTERNS
+
+    expr = "text"
+    for n, p in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{p}', '<{n.upper()}>', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1820,5 +1907,46 @@ def oracle_sql() -> dict[str, str]:
                    p.target_frac * CAST(t.t AS DOUBLE) / c.n_docs
                        AS epochs_per_doc
             FROM counts c JOIN plan p USING (source) CROSS JOIN total t
+        """,
+        "pii_signal_counts": f"""
+            WITH seeded AS ({_PII_SEED_SQL}),
+            c AS (SELECT doc_id, {_pii_counts_sql()} FROM seeded)
+            SELECT *, (n_email + n_ipv4 + n_ssn + n_phone) > 0 AS has_pii
+            FROM c
+        """,
+        "pii_redacted_texts": f"""
+            WITH seeded AS ({_PII_SEED_SQL}),
+            red AS (SELECT doc_id, {_pii_redact_sql()} AS t FROM seeded)
+            SELECT doc_id, md5(t) AS red_md5,
+                   CAST(len(regexp_extract_all(t, '<EMAIL>'))
+                      + len(regexp_extract_all(t, '<IPV4>'))
+                      + len(regexp_extract_all(t, '<SSN>'))
+                      + len(regexp_extract_all(t, '<PHONE>'))
+                      AS BIGINT) AS n_redactions
+            FROM red
+        """,
+        "unigram_doc_scores": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            model AS (
+                SELECT token, count(*) AS cnt FROM tok2
+                WHERE doc_id % 2 = 0 GROUP BY token
+            ),
+            per AS (
+                SELECT doc_id, token, count(*) AS occ FROM tok2
+                GROUP BY doc_id, token
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.occ) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN m.cnt IS NOT NULL THEN p.occ
+                            ELSE 0 END) AS BIGINT) AS n_invocab,
+                   CAST(sum(COALESCE(m.cnt, 0) * p.occ) AS BIGINT)
+                       AS sum_count
+            FROM per p LEFT JOIN model m USING (token)
+            GROUP BY p.doc_id
         """,
     }

@@ -790,3 +790,100 @@ def test_mixture_plan_temperature_math(spark):
     assert max(flat.values()) - min(flat.values()) < 0.01
     with pytest.raises(ValueError):
         mixture_plan(docs, w, temperature=0.0)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (mashspark/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_signals_counts_each_class(spark):
+    from mashspark.pii import pii_signals
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e-f.org twice"),
+        (2, "host 10.0.0.1 and 192.168.255.3"),
+        (3, "ssn 123-45-6789 ok"),
+        (4, "call +1 (555) 123-4567 or 44 555 123 4567"),
+        (5, "perfectly clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_signals(df).collect()}
+    assert got[1].n_email == 2 and got[1].has_pii
+    assert got[2].n_ipv4 == 2
+    assert got[3].n_ssn == 1
+    assert got[4].n_phone == 2
+    assert not got[5].has_pii
+    assert got[5].n_email == got[5].n_ipv4 == got[5].n_ssn == got[5].n_phone == 0
+
+
+def test_redact_pii_placeholders_and_counts(spark):
+    from mashspark.pii import redact_pii
+
+    rows = [
+        (1, "write a@b.com from 10.0.0.1 re 123-45-6789"),
+        (2, "clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].text == "write <EMAIL> from <IPV4> re <SSN>"
+    assert got[1].n_redactions == 3
+    assert got[2].text == "clean" and got[2].n_redactions == 0
+
+
+def test_redact_pii_ssn_beats_phone_order(spark):
+    """Pass order is fixed: a 3-2-4 id is typed SSN even though the
+    phone pattern could consume overlapping digits."""
+    from mashspark.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "id 123-45-6789 x")],
+                               "doc_id long, text string")
+    assert redact_pii(df).collect()[0].text == "id <SSN> x"
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (mashspark/lm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_scores_match_numpy(spark):
+    """Integer stats and the add-one-smoothed logprob agree with a
+    direct numpy computation; OOV tokens contribute log(1/(N+V))."""
+    import math
+
+    from mashspark.lm import score_documents, unigram_counts
+
+    train = [(0, "the cat sat"), (2, "the dog sat down")]
+    score = [(0, "the cat sat"), (1, "the purple unicorn"), (3, "")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    counts = unigram_counts(tdf)
+    model = {r.token: r["count"] for r in counts.collect()}
+    n_total, v = sum(model.values()), len(model)  # 7 tokens, 5 distinct
+    assert (n_total, v) == (7, 5)
+    got = {r.doc_id: r for r in score_documents(sdf, counts).collect()}
+    # doc 0: all in-vocab; sum_count = the(2)+cat(1)+sat(2) = 5
+    assert got[0].n_tokens == 3 and got[0].n_invocab == 3
+    assert got[0].sum_count == 5
+    want0 = (math.log(3 / 12) + math.log(2 / 12) + math.log(3 / 12)) / 3
+    assert abs(got[0].logprob_per_token - want0) < 1e-12
+    # doc 1: 'purple','unicorn' OOV
+    assert got[1].n_tokens == 3 and got[1].n_invocab == 1
+    assert got[1].sum_count == 2
+    want1 = (math.log(3 / 12) + 2 * math.log(1 / 12)) / 3
+    assert abs(got[1].logprob_per_token - want1) < 1e-12
+    # doc 3: empty text -> no token rows at all (documented: empty docs
+    # drop out of the per-token rollup; callers left-join if they need 0s)
+    assert 3 not in got
+
+
+def test_unigram_broadcast_and_shuffle_paths_agree(spark):
+    from mashspark.lm import score_documents, unigram_counts
+
+    docs = _sample_docs(spark, 300)
+    counts = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    a = {r.doc_id: (r.n_tokens, r.n_invocab, r.sum_count)
+         for r in score_documents(docs, counts, broadcast_counts=True).collect()}
+    b = {r.doc_id: (r.n_tokens, r.n_invocab, r.sum_count)
+         for r in score_documents(docs, counts, broadcast_counts=False).collect()}
+    assert a == b and len(a) == 300
