@@ -915,6 +915,18 @@ def _q_unigram_doc_scores(spark, sf_dir):
     )
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction (keywords.top_terms, k=3).
+    Contract compares the integer stats + rank; the double score is
+    excluded (ln() is libm-dependent at the last ULP across engines)
+    and covered by pytest instead."""
+    from mashspark.keywords import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=3, scheme="tfidf").select(
+        "doc_id", "token", "tf", "df", "term_rank"
+    )
+
+
 def _q_mixture_plan_rollup(spark, sf_dir):
     """Temperature-scaled epoch-mixing plan (sampling.mixture_plan):
     per-source target fraction + epochs_per_doc at T=2."""
@@ -980,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_signal_counts": _q_pii_signal_counts,
         "pii_redacted_texts": _q_pii_redacted_texts,
         "unigram_doc_scores": _q_unigram_doc_scores,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -1948,5 +1961,34 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_count
             FROM per p LEFT JOIN model m USING (token)
             GROUP BY p.doc_id
+        """,
+        # ranking recomputes the same closed-form score; ties break on
+        # token, and distinct (tf, df) pairs never score within libm
+        # error of each other, so ranks agree across engines
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token <> '' GROUP BY doc_id, token
+            ),
+            dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(dfs.df AS BIGINT) AS df,
+                       tf.tf * ln((n.n_docs + 1.0) / (dfs.df + 1.0))
+                           AS score
+                FROM tf JOIN dfs USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, term_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC
+                ) AS term_rank FROM scored
+            ) WHERE term_rank <= 3
         """,
     }

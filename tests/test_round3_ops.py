@@ -887,3 +887,60 @@ def test_unigram_broadcast_and_shuffle_paths_agree(spark):
     b = {r.doc_id: (r.n_tokens, r.n_invocab, r.sum_count)
          for r in score_documents(docs, counts, broadcast_counts=False).collect()}
     assert a == b and len(a) == 300
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 keywords (mashspark/keywords.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from mashspark.keywords import top_terms
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.token): r
+           for r in top_terms(df, k=2, scheme="tfidf").collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(4/2); banana tf=1 df=2 -> ln(4/3)
+    r = got[(1, "apple")]
+    assert (r.tf, r.df, r.term_rank) == (2, 1, 1)
+    assert abs(r.score - 2 * math.log(4 / 2)) < 1e-12
+    assert got[(1, "banana")].term_rank == 2
+    # 'common' (df=3) never outranks the distinctive terms
+    assert (1, "common") not in got
+    # doc 3: cherry rank 1
+    assert got[(3, "cherry")].term_rank == 1
+
+
+def test_bm25_saturation_and_length_norm(spark):
+    """BM25's tf saturation: tf=30 of a term scores < 30x its tf=1
+    score; longer docs are penalized at equal tf."""
+    from mashspark.keywords import top_terms
+
+    rows = [
+        (1, "term " * 30 + "pad"),
+        (2, "term pad"),
+        (3, "other words entirely distinct here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {(r.doc_id, r.token): r.score
+           for r in top_terms(df, k=5, scheme="bm25").collect()}
+    assert got[(1, "term")] < 30 * got[(2, "term")]
+    assert got[(1, "term")] > got[(2, "term")]  # still increasing in tf
+    with pytest.raises(ValueError):
+        top_terms(df, scheme="nope")
+
+
+def test_top_terms_plan_has_window_group_limit(spark):
+    from mashspark.keywords import top_terms
+
+    docs = _sample_docs(spark, 50)
+    plan = top_terms(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
