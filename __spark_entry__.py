@@ -927,6 +927,25 @@ def _q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def _q_quality_classifier_preds(spark, sf_dir):
+    """Trained quality filter (classify.py): labels planted from a
+    lexical rule (text contains 'window'), model trained on the even-id
+    half, every doc scored. Rows-only check (MLlib L-BFGS training is
+    not SQL-expressible); rule-recovery quality is pinned by pytest."""
+    from mashspark.classify import score_quality, train_quality_model
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.col("text").contains("window").cast("int").alias("label"),
+    )
+    model = train_quality_model(
+        docs.filter(F.col("doc_id") % 2 == 0), dim=512)
+    preds = score_quality(docs, model, dim=512)
+    return preds.join(docs.select("doc_id", "label"), "doc_id").select(
+        "doc_id", "keep", (F.col("label") == 1).alias("label_rule")
+    )
+
+
 def _q_mixture_plan_rollup(spark, sf_dir):
     """Temperature-scaled epoch-mixing plan (sampling.mixture_plan):
     per-source target fraction + epochs_per_doc at T=2."""
@@ -993,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted_texts": _q_pii_redacted_texts,
         "unigram_doc_scores": _q_unigram_doc_scores,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "quality_classifier_preds": _q_quality_classifier_preds,
     }
 
 

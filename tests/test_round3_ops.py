@@ -944,3 +944,36 @@ def test_top_terms_plan_has_window_group_limit(spark):
     docs = _sample_docs(spark, 50)
     plan = top_terms(docs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (mashspark/classify.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_recovers_planted_rule(spark):
+    """Plant a lexically separable rule (docs containing 'sparkle' are
+    high-quality), train on half, score all: the classifier must
+    recover the rule essentially perfectly at dim large enough to avoid
+    fatal hash collisions."""
+    from mashspark.classify import score_quality, train_quality_model
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(300):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 8)]
+        label = 1 if i % 3 == 0 else 0
+        if label:
+            words[int(rng.integers(0, 8))] = "sparkle"
+        rows.append((i, " ".join(words), label))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_quality_model(
+        df.filter(F.col("doc_id") % 2 == 0), dim=512)
+    got = {r.doc_id: r for r in score_quality(df, model, dim=512).collect()}
+    correct = sum(
+        1 for i, (_, _, label) in enumerate(rows)
+        if got[i].keep == bool(label))
+    assert correct >= 297  # >=99% incl. held-out odd ids
+    probs = [got[i].quality_prob for i in range(300)]
+    assert all(0.0 <= p <= 1.0 for p in probs)
