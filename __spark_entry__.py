@@ -927,6 +927,28 @@ def _q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def _q_cross_dedup_decisions(spark, sf_dir):
+    """Batch cross-corpus dedup (pipeline.dedup_against): odd-id docs
+    checked against the even-id half as the reference corpus — planted
+    near-dup families straddle the split, so decisions are non-trivial.
+    Rows-only (murmur-based LSH + verify); planted-dup recovery is
+    pinned by pytest."""
+    from mashspark.pipeline import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    cfg = PipelineConfig(
+        sketch=SketchParams(k=21, s=1000, seed=42), jaccard_threshold=0.7)
+    res = dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        cfg,
+    )
+    out = res.decisions.select("doc_id", "is_dup", "dup_of")
+    out = out.localCheckpoint(eager=True)
+    res.release()
+    return out
+
+
 def _q_quality_classifier_preds(spark, sf_dir):
     """Trained quality filter (classify.py): labels planted from a
     lexical rule (text contains 'window'), model trained on the even-id
@@ -1013,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_doc_scores": _q_unigram_doc_scores,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_classifier_preds": _q_quality_classifier_preds,
+        "cross_dedup_decisions": _q_cross_dedup_decisions,
     }
 
 

@@ -213,3 +213,131 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
         lsh_metrics=lsh_metrics,
         ckpt_rdd_ids=ckpt_ids,
     )
+
+
+@dataclass
+class CrossDedupResult:
+    decisions: DataFrame  # doc_id, is_dup, dup_of, jaccard (every new doc)
+    metrics: DataFrame    # one row: candidate/drop accounting
+    ckpt_rdd_ids: list = None
+
+    def release(self) -> None:
+        jsc = self.decisions.sparkSession.sparkContext._jsc
+        jmap = jsc.getPersistentRDDs()
+        for rid in self.ckpt_rdd_ids or []:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
+
+
+def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
+                  config: PipelineConfig | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ref_sketches: DataFrame | None = None) -> CrossDedupResult:
+    """Batch cross-corpus dedup: flag every ``new_docs`` row that
+    near-dups ANY ``ref_docs`` row (the new-crawl-vs-existing-corpus
+    stage; the batch analog of streaming.process_batch's history check).
+
+    Spark shape mirrors dedup_pipeline stage by stage, but candidates
+    come from a cross band join (new bands x ref bands on band_key) so
+    no within-corpus pairs are ever generated. Both corpora's ids are
+    remapped into disjoint spaces (new -> 2i, ref -> 2i+1 — bijective,
+    so they decode back) and the sketch tables unioned, which lets the
+    existing two-tier verify_pairs (prefix pre-filter, shuffled-hash
+    attach joins, survivor semi-join) run untouched on the cross pairs.
+
+    Skew discipline: a boilerplate band key with A new and B ref docs
+    would join-explode to A*B candidates, so band keys whose bucket
+    exceeds ``config.lsh.hard_bucket_cap`` on EITHER side are dropped
+    with counts logged in ``metrics`` (same contract as
+    lsh.candidate_pairs: drops are visible, never silent).
+
+    Pass ``ref_sketches`` (e.g. from io.read_sketches) to skip
+    re-sketching a corpus that already has a committed sketch table;
+    param compatibility is enforced (F6) before any comparison.
+    """
+    config = config or PipelineConfig()
+    sp = config.sketch
+    spark = new_docs.sparkSession
+    _ids0 = _persistent_rdd_ids(spark)
+    cap = int(config.lsh.hard_bucket_cap)
+
+    sk_new = sketch_documents(new_docs, sp, config.lsh,
+                              id_col=id_col, text_col=text_col)
+    if ref_sketches is None:
+        sk_ref = sketch_documents(ref_docs, sp, config.lsh,
+                                  id_col=id_col, text_col=text_col)
+    else:
+        from .params import params_from_schema
+
+        emb = params_from_schema(ref_sketches)
+        if emb is not None:
+            sp.check_compatible(emb)
+        sk_ref = ref_sketches
+    # disjoint id spaces (new=even, ref=odd) so one sketch table serves
+    # verify_pairs without collisions; decoded on the way out
+    sk_new = sk_new.withColumn(id_col, F.col(id_col) * 2)
+    sk_ref = sk_ref.withColumn(id_col, F.col(id_col) * 2 + 1)
+    sk_new = sk_new.localCheckpoint(eager=True)
+    sk_ref = sk_ref.localCheckpoint(eager=True)
+
+    bn = _lsh.explode_bands(sk_new).select(
+        "band_key", F.col("doc_id").alias("id_a"))
+    br = _lsh.explode_bands(sk_ref).select(
+        "band_key", F.col("doc_id").alias("id_b"))
+    # per-side bucket sizes (map-side partial agg); hot keys dropped
+    sz_n = bn.groupBy("band_key").agg(F.count("*").alias("n_new"))
+    sz_r = br.groupBy("band_key").agg(F.count("*").alias("n_ref"))
+    hot = (
+        sz_n.join(sz_r, "band_key")
+        .filter((F.col("n_new") > cap) | (F.col("n_ref") > cap))
+        .localCheckpoint(eager=True)
+    )
+    metrics = hot.agg(
+        F.count("*").alias("n_dropped_buckets"),
+        F.coalesce(F.sum("n_new"), F.lit(0)).alias("n_dropped_new_entries"),
+        F.coalesce(F.sum("n_ref"), F.lit(0)).alias("n_dropped_ref_entries"),
+    )
+    bn = bn.join(hot.select("band_key"), "band_key", "left_anti")
+    br = br.join(hot.select("band_key"), "band_key", "left_anti")
+    cand = (
+        bn.join(br, "band_key")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sk_all = sk_new.unionByName(sk_ref)
+    matched = _verify.verify_pairs(
+        cand, sk_all, sp,
+        jaccard_threshold=config.jaccard_threshold,
+        max_distance=config.max_distance,
+        max_pvalue=config.max_pvalue,
+        prefix_filter=config.lsh.prefix,
+    )
+    # best ref match per new doc: highest jaccard, lowest ref id on ties
+    best = (
+        matched.groupBy("id_a")
+        .agg(F.max(F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("id_b")).alias("nid"))).alias("_m"))
+        .select(
+            (F.col("id_a") / 2).cast("long").alias(id_col),
+            F.col("_m.j").alias("jaccard"),
+            ((-F.col("_m.nid") - 1) / 2).cast("long").alias("dup_of"),
+        )
+    )
+    decisions = (
+        new_docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
+    )
+    return CrossDedupResult(
+        decisions=decisions,
+        metrics=metrics,
+        ckpt_rdd_ids=sorted(_persistent_rdd_ids(spark) - _ids0),
+    )

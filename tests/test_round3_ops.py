@@ -977,3 +977,84 @@ def test_quality_classifier_recovers_planted_rule(spark):
     assert correct >= 297  # >=99% incl. held-out odd ids
     probs = [got[i].quality_prob for i in range(300)]
     assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+# ---------------------------------------------------------------------------
+# batch cross-corpus dedup (pipeline.dedup_against)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_against_flags_planted_cross_dups(spark):
+    """New docs that copy (exactly or with a small tail edit) a ref doc
+    are flagged with the right dup_of; unrelated docs pass clean."""
+    from mashspark.params import LSHParams, PipelineConfig, SketchParams
+    from mashspark.pipeline import dedup_against
+    from mashspark.webtext import webtext_spark_df
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(k=21, s=256, seed=42),
+        lsh=LSHParams(bands=32, prefix=64),
+        jaccard_threshold=0.7,
+    )
+    ref = webtext_spark_df(spark, n_base=40, seed=1).select("doc_id", "text")
+    ref_rows = {r.doc_id: r.text for r in ref.collect()}
+    src_ids = sorted(ref_rows)[:10]
+    new_rows = []
+    for i, sid in enumerate(src_ids[:5]):  # exact copies
+        new_rows.append((100_000 + i, ref_rows[sid], sid, True))
+    for i, sid in enumerate(src_ids[5:]):  # near copies (small tail edit)
+        new_rows.append(
+            (100_100 + i, ref_rows[sid] + " tiny tail here", sid, False))
+    fresh = webtext_spark_df(spark, n_base=15, seed=99).select(
+        "doc_id", "text").collect()
+    for i, r in enumerate(fresh):
+        new_rows.append((200_000 + i, r.text, None, False))
+    new = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in new_rows], "doc_id long, text string")
+
+    res = dedup_against(new, ref, cfg)
+    got = {r.doc_id: r for r in res.decisions.collect()}
+    assert len(got) == len(new_rows)
+    for nid, _, sid, is_exact in new_rows:
+        if sid is None:
+            assert not got[nid].is_dup, f"{nid} false positive"
+            assert got[nid].dup_of is None
+        else:
+            assert got[nid].is_dup, f"{nid} missed"
+            assert got[nid].dup_of in ref_rows
+            if is_exact:
+                # exact copy: jaccard 1.0 vs the source beats any other
+                # family member, so dup_of is pinned
+                assert got[nid].dup_of == sid
+                assert abs(got[nid].jaccard - 1.0) < 1e-12
+    m = res.metrics.collect()[0]
+    assert m.n_dropped_buckets == 0
+    res.release()
+
+
+def test_dedup_against_accepts_prebuilt_ref_sketches(spark):
+    """Passing a committed ref sketch table skips re-sketching and
+    yields identical decisions; incompatible params are refused (F6)."""
+    from mashspark.params import (LSHParams, PipelineConfig, SketchParams)
+    from mashspark.pipeline import dedup_against
+    from mashspark.sketch import sketch_documents
+    from mashspark.webtext import webtext_spark_df
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(k=21, s=256, seed=42),
+        lsh=LSHParams(bands=32, prefix=64),
+        jaccard_threshold=0.7,
+    )
+    ref = webtext_spark_df(spark, n_base=20, seed=1).select("doc_id", "text")
+    new = ref.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    sk_ref = sketch_documents(ref, cfg.sketch, cfg.lsh)
+    a = {r.doc_id: (r.is_dup, r.dup_of)
+         for r in dedup_against(new, ref, cfg).decisions.collect()}
+    b = {r.doc_id: (r.is_dup, r.dup_of)
+         for r in dedup_against(new, None, cfg,
+                                ref_sketches=sk_ref).decisions.collect()}
+    assert a == b and all(v[0] for v in a.values())
+    bad = sketch_documents(ref, SketchParams(k=17, s=256, seed=42),
+                           cfg.lsh)
+    with pytest.raises(ValueError):
+        dedup_against(new, None, cfg, ref_sketches=bad)
