@@ -949,6 +949,23 @@ def _q_cross_dedup_decisions(spark, sf_dir):
     return out
 
 
+def _q_cluster_representatives(spark, sf_dir):
+    """Quality-aware cluster collapse (pipeline.select_representatives):
+    exact-dup clusters over the seeded fixture, score = doc_id % 7 —
+    argmax via a (score, -id) struct max, no window."""
+    from mashspark.pipeline import select_representatives
+
+    d = _seeded_docs(spark, sf_dir)
+    g = (
+        d.groupBy(F.md5("text").alias("_m"))
+        .agg(F.min("doc_id").alias("cluster_id"))
+    )
+    clusters = d.select("doc_id", F.md5("text").alias("_m")).join(
+        g, "_m").select("doc_id", "cluster_id")
+    scores = d.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    return select_representatives(clusters, scores)
+
+
 def _q_quality_classifier_preds(spark, sf_dir):
     """Trained quality filter (classify.py): labels planted from a
     lexical rule (text contains 'window'), model trained on the even-id
@@ -1036,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_classifier_preds": _q_quality_classifier_preds,
         "cross_dedup_decisions": _q_cross_dedup_decisions,
+        "cluster_representatives": _q_cluster_representatives,
     }
 
 
@@ -2004,6 +2022,32 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_count
             FROM per p LEFT JOIN model m USING (token)
             GROUP BY p.doc_id
+        """,
+        # argmax(score, tie -> min id) per exact-dup cluster over the
+        # same seeded corpus the exact_dup_* oracles use
+        "cluster_representatives": """
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id < 50
+            ),
+            cl AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(text))
+                           AS cluster_id,
+                       doc_id % 7 AS score
+                FROM seeded
+            ),
+            ranked AS (
+                SELECT cluster_id, doc_id, score, row_number() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM cl
+            )
+            SELECT cluster_id, doc_id AS rep_id,
+                   CAST(score AS BIGINT) AS rep_score
+            FROM ranked WHERE rn = 1
         """,
         # ranking recomputes the same closed-form score; ties break on
         # token, and distinct (tf, df) pairs never score within libm

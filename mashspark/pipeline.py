@@ -341,3 +341,32 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
         metrics=metrics,
         ckpt_rdd_ids=sorted(_persistent_rdd_ids(spark) - _ids0),
     )
+
+
+def select_representatives(clusters: DataFrame, scores: DataFrame,
+                           id_col: str = "doc_id",
+                           cluster_col: str = "cluster_id",
+                           score_col: str = "score") -> DataFrame:
+    """Quality-aware cluster collapse: keep the HIGHEST-scoring member
+    of every duplicate cluster (ties -> lowest id) instead of the
+    min-id default — the curation policy that keeps the cleanest copy
+    of each near-dup family (e.g. score = quality_prob from
+    classify.score_quality, or -n_redactions, or n_chars).
+
+    One join + one groupBy(cluster) with map-side partial aggregation
+    (max of a (score, -id) struct — argmax without a window, so no
+    per-cluster sort and no WindowExec funnel on mega-clusters).
+    Returns (cluster_id, rep_id, rep_score).
+    """
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    return (
+        joined.groupBy(cluster_col)
+        .agg(F.max(F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("nid"))).alias("_m"))
+        .select(
+            cluster_col,
+            (-F.col("_m.nid")).cast("long").alias("rep_id"),
+            F.col("_m.s").alias("rep_score"),
+        )
+    )

@@ -1058,3 +1058,21 @@ def test_dedup_against_accepts_prebuilt_ref_sketches(spark):
                            cfg.lsh)
     with pytest.raises(ValueError):
         dedup_against(new, None, cfg, ref_sketches=bad)
+
+
+def test_select_representatives_argmax_with_tiebreak(spark):
+    """Highest score wins; equal scores -> lowest id; singleton clusters
+    keep their only member."""
+    from mashspark.pipeline import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.5)],
+        "doc_id long, score double")
+    got = {r.cluster_id: (r.rep_id, r.rep_score)
+           for r in select_representatives(clusters, scores).collect()}
+    assert got[10] == (2, 0.9)   # max score, tie vs 3 -> lower id
+    assert got[40] == (4, 0.1)   # singleton
+    assert got[50] == (5, 0.5)   # tie -> lower id
