@@ -127,6 +127,40 @@ def main() -> None:
              "simple"),
     ))
 
+    from mashspark.lm import score_documents, unigram_counts
+
+    model = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    sections.append((
+        "Unigram-LM scoring (partial aggs + broadcast model join)",
+        "train and score both pre-aggregate map-side (partial_count on "
+        "(token) and (doc,token)); the model joins as a "
+        "BroadcastHashJoin, so scoring the corpus is one pass with no "
+        "fat shuffle.",
+        plan(score_documents(docs, model, broadcast_counts=True), "simple"),
+    ))
+
+    from mashspark.keywords import top_terms
+
+    sections.append((
+        "TF-IDF top-k terms (WindowGroupLimit, broadcast df join)",
+        "the per-doc top-k runs as WindowGroupLimit Partial (map-side "
+        "top-k per doc) before the exchange + Final after — a hot doc "
+        "never ships more than k rows per input partition; document "
+        "frequencies broadcast.",
+        plan(top_terms(docs, k=3), "simple"),
+    ))
+
+    from mashspark.sampling import group_topk_sample, split_assign
+
+    sections.append((
+        "Deterministic split + per-group sample (map-only / group-limit)",
+        "split_assign is a pure projection over the scan (no Exchange at "
+        "all); group_topk_sample rides the same WindowGroupLimit "
+        "partial/final pair as TF-IDF.",
+        plan(split_assign(docs, {"train": 0.9, "val": 0.1}), "simple")
+        + plan(group_topk_sample(docs, k=3, group_col="lang"), "simple"),
+    ))
+
     out = [
         "# Physical plans of the core pipeline stages",
         "",
