@@ -949,6 +949,18 @@ def _q_cross_dedup_decisions(spark, sf_dir):
     return out
 
 
+def _q_epoch_shuffle_keys(spark, sf_dir):
+    """Per-epoch deterministic shuffle keys (sampling.epoch_shuffle_key,
+    epoch=1): the permutation the epoch-layout writer range-partitions
+    and sorts by. Map-only; the layout itself (balance, determinism,
+    epoch independence) is pytest-pinned."""
+    from mashspark.sampling import epoch_shuffle_key
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", epoch_shuffle_key(F.col("doc_id"), 1).alias("shuffle_key")
+    )
+
+
 def _q_cluster_representatives(spark, sf_dir):
     """Quality-aware cluster collapse (pipeline.select_representatives):
     exact-dup clusters over the seeded fixture, score = doc_id % 7 —
@@ -1054,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_preds": _q_quality_classifier_preds,
         "cross_dedup_decisions": _q_cross_dedup_decisions,
         "cluster_representatives": _q_cluster_representatives,
+        "epoch_shuffle_keys": _q_epoch_shuffle_keys,
     }
 
 
@@ -2048,6 +2061,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_id,
                    CAST(score AS BIGINT) AS rep_score
             FROM ranked WHERE rn = 1
+        """,
+        "epoch_shuffle_keys": f"""
+            SELECT doc_id, {_samp_u_sql('epoch:1')} AS shuffle_key
+            FROM documents
         """,
         # ranking recomputes the same closed-form score; ties break on
         # token, and distinct (tf, df) pairs never score within libm

@@ -184,3 +184,37 @@ def mixture_plan(
             .alias("epochs_per_doc"),
         )
     )
+
+
+def epoch_shuffle_key(id_col: Column, epoch: int, salt: str = "epoch") -> Column:
+    """Stable per-epoch shuffle key: changing ``epoch`` produces an
+    independent permutation, same epoch always replays the same order."""
+    return hash_uniform(id_col, f"{salt}:{epoch}")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: rows land in
+    ``num_partitions`` range buckets of the per-epoch hash key and are
+    sorted by it within each bucket, so a sequential read of the written
+    partitions replays one fixed pseudo-random permutation of the corpus.
+
+    This is the write-layout operator a training pipeline runs per epoch
+    (or once, with readers striding): repartitionByRange on the hash key
+    gives balanced output files (the key is uniform, so range bounds from
+    Spark's sampling are near-exact), and the within-partition sort is a
+    local sort — no global ordering bottleneck. Re-running with the same
+    epoch reproduces the layout; epoch+1 is an independent permutation.
+    """
+    key = epoch_shuffle_key(F.col(id_col), epoch, salt)
+    out = df.withColumn("_shuffle_key", key)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "_shuffle_key")
+    else:
+        out = out.repartitionByRange("_shuffle_key")
+    return out.sortWithinPartitions("_shuffle_key").drop("_shuffle_key")

@@ -1076,3 +1076,27 @@ def test_select_representatives_argmax_with_tiebreak(spark):
     assert got[10] == (2, 0.9)   # max score, tie vs 3 -> lower id
     assert got[40] == (4, 0.1)   # singleton
     assert got[50] == (5, 0.5)   # tie -> lower id
+
+
+def test_epoch_shuffle_deterministic_balanced_and_epoch_varying(spark):
+    """Same epoch -> identical layout; different epoch -> different
+    permutation; range buckets are balanced for a uniform key."""
+    from mashspark.sampling import epoch_shuffle
+
+    docs = _sample_docs(spark, 800)
+    a = epoch_shuffle(docs, epoch=1, num_partitions=8)
+    b = epoch_shuffle(docs, epoch=1, num_partitions=8)
+    order_a = [r.doc_id for r in a.select("doc_id").collect()]
+    order_b = [r.doc_id for r in b.select("doc_id").collect()]
+    assert order_a == order_b
+    c = [r.doc_id for r in
+         epoch_shuffle(docs, epoch=2, num_partitions=8)
+         .select("doc_id").collect()]
+    assert c != order_a and sorted(c) == sorted(order_a)
+    assert order_a != sorted(order_a)  # actually permuted
+    sizes = (
+        a.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8 and min(counts) > 0.5 * max(counts)
