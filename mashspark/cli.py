@@ -311,6 +311,38 @@ def cmd_dedup(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_dedup_against(spark: SparkSession, args) -> int:
+    """Batch cross-corpus dedup (beyond the reference): flag every new
+    doc that near-dups the reference corpus; outputs per-doc decisions
+    parquet + metrics JSON. --ref-sketches reuses a committed sketch
+    table (from `mashspark sketch`) instead of re-sketching the ref."""
+    from .pipeline import dedup_against
+
+    params = _sketch_params(args)
+    cfg = PipelineConfig(sketch=params, jaccard_threshold=args.jaccard)
+    if not args.ref and not args.ref_sketches:
+        print("dedup-against: need --ref or --ref-sketches", file=sys.stderr)
+        return 2
+    new_docs = load_docs(spark, args.input)
+    if args.ref_sketches:
+        ref_sk = mio.read_sketches(spark, args.ref_sketches)
+        res = dedup_against(new_docs, None, cfg, ref_sketches=ref_sk)
+    else:
+        res = dedup_against(new_docs, load_docs(spark, args.ref), cfg)
+    res.decisions.write.mode("overwrite").parquet(
+        os.path.join(args.output, "decisions"))
+    dec = spark.read.parquet(os.path.join(args.output, "decisions"))
+    metrics = {"n_new_docs": dec.count(),
+               "n_flagged": dec.filter(F.col("is_dup")).count(),
+               "drop_metrics": res.metrics.collect()[0].asDict()}
+    spark.createDataFrame([(json.dumps(metrics),)], "metrics string") \
+        .coalesce(1).write.mode("overwrite").json(
+            os.path.join(args.output, "metrics.json"))
+    res.release()
+    print(json.dumps(metrics), file=sys.stderr)
+    return 0
+
+
 def cmd_stream(spark: SparkSession, args) -> int:
     """Streaming incremental dedup (beyond the reference — the crawl
     firehose): consume a parquet document directory as a Structured
@@ -448,6 +480,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_dedup, min_copies=1)
+
+    p = sub.add_parser(
+        "dedup-against",
+        help="flag new docs that near-dup a reference corpus")
+    _add_sketch_flags(p)
+    p.add_argument("-j", "--jaccard", type=float, default=0.7)
+    p.add_argument("--ref", help="reference docs parquet")
+    p.add_argument("--ref-sketches",
+                   help="committed ref sketch table (skips re-sketching)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input", help="new docs parquet")
+    p.set_defaults(fn=cmd_dedup_against, min_copies=1)
 
     return ap
 

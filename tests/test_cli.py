@@ -205,3 +205,36 @@ def test_cli_tune_prints_solution(capsys):
     assert out["predicted_recall"] >= 0.999
     assert out["bands"] & (out["bands"] - 1) == 0
     assert out["prefix"] <= 1000
+
+
+def test_cli_dedup_against(spark, docs_parquet, tmp_path, capsys):
+    """dedup-against flags the family copies of the ref corpus; the
+    --ref-sketches path (committed sketch table) gives the same verdicts
+    as re-sketching; missing ref args exit 2."""
+    ref = str(tmp_path / "ref.parquet")
+    # refs = family seeds (ids 0..5); new = the copies (ids 6..11)
+    spark.read.parquet(docs_parquet).filter("doc_id < 6").write.mode(
+        "overwrite").parquet(ref)
+    new = str(tmp_path / "new.parquet")
+    spark.read.parquet(docs_parquet).filter("doc_id >= 6").write.mode(
+        "overwrite").parquet(new)
+
+    out1 = str(tmp_path / "xd1.out")
+    assert cli.main(["dedup-against", *FLAGS, "--ref", ref,
+                     "-o", out1, new]) == 0
+    dec = spark.read.parquet(os.path.join(out1, "decisions"))
+    got = {r.doc_id: r.dup_of for r in dec.collect()}
+    assert len(got) == 6
+    for nid, rid in got.items():
+        assert rid == nid - 6  # each copy maps to its family seed
+
+    sk = str(tmp_path / "ref.sketches")
+    assert cli.main(["sketch", *FLAGS, "-o", sk, ref]) == 0
+    out2 = str(tmp_path / "xd2.out")
+    assert cli.main(["dedup-against", *FLAGS, "--ref-sketches", sk,
+                     "-o", out2, new]) == 0
+    dec2 = spark.read.parquet(os.path.join(out2, "decisions"))
+    assert {r.doc_id: r.dup_of for r in dec2.collect()} == got
+
+    assert cli.main(["dedup-against", *FLAGS, "-o",
+                     str(tmp_path / "xd3.out"), new]) == 2
