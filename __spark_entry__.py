@@ -915,6 +915,18 @@ def _q_unigram_doc_scores(spark, sf_dir):
     )
 
 
+def _q_bigram_doc_scores(spark, sf_dir):
+    """Bigram-LM scoring (lm.py, n=2): model on the even-id half,
+    everything scored. Same integer contract as unigram_doc_scores."""
+    from mashspark.lm import score_documents, unigram_counts
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0), n=2)
+    return score_documents(docs, model, broadcast_counts=True, n=2).select(
+        "doc_id", "n_tokens", "n_invocab", "sum_count"
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Per-doc TF-IDF keyword extraction (keywords.top_terms, k=3).
     Contract compares the integer stats + rank; the double score is
@@ -1062,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_signal_counts": _q_pii_signal_counts,
         "pii_redacted_texts": _q_pii_redacted_texts,
         "unigram_doc_scores": _q_unigram_doc_scores,
+        "bigram_doc_scores": _q_bigram_doc_scores,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_classifier_preds": _q_quality_classifier_preds,
         "cross_dedup_decisions": _q_cross_dedup_decisions,
@@ -2065,6 +2078,37 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle_keys": f"""
             SELECT doc_id, {_samp_u_sql('epoch:1')} AS shuffle_key
             FROM documents
+        """,
+        "bigram_doc_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1]
+                           AS token
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws))) AS i FROM toks)
+            ),
+            model AS (
+                SELECT token, count(*) AS cnt FROM grams
+                WHERE doc_id % 2 = 0 GROUP BY token
+            ),
+            per AS (
+                SELECT doc_id, token, count(*) AS occ FROM grams
+                GROUP BY doc_id, token
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.occ) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN m.cnt IS NOT NULL THEN p.occ
+                            ELSE 0 END) AS BIGINT) AS n_invocab,
+                   CAST(sum(COALESCE(m.cnt, 0) * p.occ) AS BIGINT)
+                       AS sum_count
+            FROM per p LEFT JOIN model m USING (token)
+            GROUP BY p.doc_id
         """,
         # ranking recomputes the same closed-form score; ties break on
         # token, and distinct (tf, df) pairs never score within libm

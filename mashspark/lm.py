@@ -34,17 +34,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(df: DataFrame, text_col: str) -> DataFrame:
-    """Lowercased whitespace tokens, one row per occurrence."""
-    tok = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
-    return df.select("*", tok).filter(F.col("token") != "")
+def _tokens(df: DataFrame, text_col: str, n: int = 1) -> DataFrame:
+    """Lowercased whitespace n-gram terms (n=1: tokens, n=2: bigrams
+    joined with a space, ...), one row per occurrence. The n-gram
+    construction is a JVM array transform over the split — still
+    map-only, no Python."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                  lambda x: x != "")
+    if n == 1:
+        terms = ws
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + j + 1).cast("int"))
+                       for j in range(n)]),
+        )
+        # CASE short-circuits per row: sequence() never sees a negative
+        # stop for docs shorter than n grams
+        terms = F.when(F.size(ws) >= n, grams).otherwise(
+            F.array().cast("array<string>"))
+    tok = F.explode(terms).alias("token")
+    return df.select("*", tok)
 
 
-def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(token, count) over the training corpus. One wide->narrow
-    explode + one map-side-partial groupBy; the result is the model."""
+def unigram_counts(docs: DataFrame, text_col: str = "text",
+                   n: int = 1) -> DataFrame:
+    """(token, count) over the training corpus — the model. ``n`` > 1
+    trains an n-gram model (same shape: one wide->narrow explode + one
+    map-side-partial groupBy; the distinct-term space grows with n, but
+    so does the signal — bigrams are the CCNet-ish register signal)."""
     return (
-        _tokens(docs.select(text_col), text_col)
+        _tokens(docs.select(text_col), text_col, n)
         .groupBy("token")
         .agg(F.count("*").alias("count"))
     )
@@ -56,15 +77,17 @@ def score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_counts: bool = False,
+    n: int = 1,
 ) -> DataFrame:
-    """Score ``docs`` against a trained ``counts`` model.
+    """Score ``docs`` against a trained ``counts`` model (pass the same
+    ``n`` the model was trained with).
 
-    Per doc: ``n_tokens`` (total occurrences), ``n_invocab``
-    (occurrences whose token the model knows), ``sum_count`` (sum of
+    Per doc: ``n_tokens`` (total term occurrences), ``n_invocab``
+    (occurrences whose term the model knows), ``sum_count`` (sum of
     model counts over occurrences — high for common-register text), and
-    ``logprob_per_token`` (add-one-smoothed unigram log-likelihood per
-    token; OOV tokens contribute log(1/(N+V))). Higher logprob = closer
-    to the training register; filter or stratify on it.
+    ``logprob_per_token`` (add-one-smoothed log-likelihood per term;
+    OOV terms contribute log(1/(N+V))). Higher logprob = closer to the
+    training register; filter or stratify on it.
     """
     model = counts
     if broadcast_counts:
@@ -76,7 +99,7 @@ def score_documents(
     n_total, v = int(totals.n_total or 0), int(totals.v_size or 0)
     denom = float(n_total + v)
     per_tok = (
-        _tokens(docs.select(id_col, text_col), text_col)
+        _tokens(docs.select(id_col, text_col), text_col, n)
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("occ"))
         .join(model, "token", "left")

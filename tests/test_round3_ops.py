@@ -1100,3 +1100,32 @@ def test_epoch_shuffle_deterministic_balanced_and_epoch_varying(spark):
     )
     counts = [r["count"] for r in sizes]
     assert len(counts) == 8 and min(counts) > 0.5 * max(counts)
+
+
+def test_bigram_lm_scores_match_numpy(spark):
+    """n=2 model: bigram counts and per-doc stats agree with a direct
+    computation; docs with <2 tokens produce no bigram rows."""
+    import math
+
+    from mashspark.lm import score_documents, unigram_counts
+
+    train = [(0, "a b a b c"), (1, "b c d")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    counts = {r.token: r["count"]
+              for r in unigram_counts(tdf, n=2).collect()}
+    # bigrams: doc0: "a b","b a","a b","b c"; doc1: "b c","c d"
+    assert counts == {"a b": 2, "b a": 1, "b c": 2, "c d": 1}
+    n_total, v = 6, 4
+    score = [(10, "a b c"), (11, "z"), (12, "x y")]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in score_documents(sdf, unigram_counts(tdf, n=2),
+                                    n=2).collect()}
+    # doc 10 bigrams: "a b"(2), "b c"(2) -> all in vocab
+    assert got[10].n_tokens == 2 and got[10].n_invocab == 2
+    assert got[10].sum_count == 4
+    want = (math.log(3 / (n_total + v)) * 2) / 2
+    assert abs(got[10].logprob_per_token - want) < 1e-12
+    assert 11 not in got            # single token: no bigrams
+    assert got[12].n_invocab == 0   # OOV bigram
+    assert got[12].sum_count == 0
