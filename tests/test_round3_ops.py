@@ -1,5 +1,10 @@
 """Round-3 additions: language-ID votes, vectorized binomial tails,
-pipeline block release, screen shuffle-free KMV set size."""
+pipeline block release, screen shuffle-free KMV set size, URL
+canonicalization, html extraction, IVF ANN, semantic dedup, substring
+span removal, deterministic sampling/splits/epoch shuffle, PII
+redaction, n-gram-LM scoring, TF-IDF/BM25 keywords, trained quality
+classifier, cross-corpus dedup, quality-aware representatives — with
+plan guards pinning each operator's scale shape."""
 
 import numpy as np
 import pytest
@@ -1129,3 +1134,30 @@ def test_bigram_lm_scores_match_numpy(spark):
     assert 11 not in got            # single token: no bigrams
     assert got[12].n_invocab == 0   # OOV bigram
     assert got[12].sum_count == 0
+
+
+def test_lm_scoring_plan_broadcasts_model_and_partial_aggs(spark):
+    """Scale guard: with broadcast_counts=True the model join is a
+    BroadcastHashJoin (no fat shuffle of the corpus terms against the
+    model) and every aggregate has a map-side partial phase."""
+    from mashspark.lm import score_documents, unigram_counts
+
+    docs = _sample_docs(spark, 100)
+    model = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    plan = score_documents(docs, model, broadcast_counts=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_plan_is_map_only(spark):
+    """PII detection/redaction must stay a pure projection over the
+    scan — no Exchange anywhere in the plan."""
+    from mashspark.pii import pii_signals, redact_pii
+
+    docs = _sample_docs(spark, 50)
+    for df in (pii_signals(docs), redact_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan  # JVM regex, not python
