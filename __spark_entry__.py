@@ -927,6 +927,34 @@ def _q_bigram_doc_scores(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail routing (lm.perplexity_buckets):
+    unigram model on the even-id half, every doc scored, corpus split
+    into exact terciles of avg model count (sum_count/n_tokens — a
+    ratio of exact integers, so the double is bit-identical across
+    engines; the order-dependent float logprob sum is pytest-covered
+    instead). Contract row per bucket: doc count + token mass."""
+    from mashspark.lm import (perplexity_buckets, score_documents,
+                              unigram_counts)
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_documents(docs, model, broadcast_counts=True).withColumn(
+        "score", F.col("sum_count").cast("double") / F.col("n_tokens")
+    )
+    b = perplexity_buckets(scored, score_col="score", exact=True)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("sum_tokens"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Per-doc TF-IDF keyword extraction (keywords.top_terms, k=3).
     Contract compares the integer stats + rank; the double score is
@@ -1075,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted_texts": _q_pii_redacted_texts,
         "unigram_doc_scores": _q_unigram_doc_scores,
         "bigram_doc_scores": _q_bigram_doc_scores,
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_classifier_preds": _q_quality_classifier_preds,
         "cross_dedup_decisions": _q_cross_dedup_decisions,
@@ -2109,6 +2138,49 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_count
             FROM per p LEFT JOIN model m USING (token)
             GROUP BY p.doc_id
+        """,
+        # tercile cutoffs: both engines compute type-7 linear
+        # interpolation ((n-1)*p) over the identical IEEE doubles
+        # (sum_count/n_tokens is a ratio of exact integers), so the
+        # cutoffs and every >= comparison agree bit-for-bit
+        "lm_perplexity_buckets": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            model AS (
+                SELECT token, count(*) AS cnt FROM tok2
+                WHERE doc_id % 2 = 0 GROUP BY token
+            ),
+            per AS (
+                SELECT doc_id, token, count(*) AS occ FROM tok2
+                GROUP BY doc_id, token
+            ),
+            scored AS (
+                SELECT p.doc_id, sum(p.occ) AS n_tokens,
+                       sum(COALESCE(m.cnt, 0) * p.occ) AS sum_count
+                FROM per p LEFT JOIN model m USING (token)
+                GROUP BY p.doc_id
+            ),
+            sc AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum_count AS DOUBLE) / n_tokens AS score
+                FROM scored
+            ),
+            cuts AS (
+                SELECT quantile_cont(score, 1.0/3) AS c1,
+                       quantile_cont(score, 2.0/3) AS c2
+                FROM sc
+            )
+            SELECT CASE WHEN score >= c2 THEN 0
+                        WHEN score >= c1 THEN 1
+                        ELSE 2 END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM sc, cuts
+            GROUP BY 1
         """,
         # ranking recomputes the same closed-form score; ties break on
         # token, and distinct (tf, df) pairs never score within libm

@@ -71,6 +71,55 @@ def unigram_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "logprob_per_token",
+    n_buckets: int = 3,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style corpus routing: split the scored corpus into
+    ``n_buckets`` quality tiers by the LM score (CCNet partitions each
+    language into head/middle/tail perplexity terciles and trains on
+    the head). Returns ``scored`` plus an int ``bucket`` column —
+    0 = head (highest score / lowest perplexity), ``n_buckets-1`` =
+    tail; a NULL score lands in the tail.
+
+    Scale shape (the reason this is NOT ``ntile()``): a global window
+    rank would single-partition the whole corpus through one task. We
+    instead compute the n-1 quantile cutoffs with ONE tiny aggregate
+    (``percentile_approx`` t-digest by default — O(accuracy) state per
+    partial, mergeable, the 10^12-doc path; ``exact=True`` switches to
+    exact ``percentile`` for small/test corpora), collect the n-1
+    doubles to the driver, and assign buckets as a map-only literal
+    comparison chain — no shuffle, no window, embarrassingly parallel.
+
+    Degenerate inputs are well-defined: if all scores are equal every
+    cutoff equals that score and every doc lands in bucket 0.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    col = F.col(score_col).cast("double")
+    if exact:
+        agg = F.percentile(col, F.lit(probs))
+    else:
+        agg = F.percentile_approx(col, F.lit(probs), F.lit(accuracy))
+    cuts = scored.agg(agg.alias("cuts")).collect()[0]["cuts"]
+    if cuts is None or any(c is None for c in cuts):
+        # empty input: no cutoffs; everything (nothing) is tail
+        return scored.withColumn(
+            "bucket", F.lit(n_buckets - 1).cast("int"))
+    # cuts ascending: cuts[j] = quantile((j+1)/n). First-match-wins
+    # when-chain from the highest cutoff down: score >= q((n-1)/n) ->
+    # bucket 0, ..., below q(1/n) (or NULL) -> bucket n-1.
+    expr = F.when(col >= F.lit(float(cuts[-1])), F.lit(0))
+    for rank, c in enumerate(reversed(cuts[:-1]), start=1):
+        expr = expr.when(col >= F.lit(float(c)), F.lit(rank))
+    expr = expr.otherwise(F.lit(n_buckets - 1))
+    return scored.withColumn("bucket", expr.cast("int"))
+
+
 def score_documents(
     docs: DataFrame,
     counts: DataFrame,

@@ -1161,3 +1161,53 @@ def test_pii_plan_is_map_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan  # JVM regex, not python
+
+
+def test_perplexity_buckets_match_numpy_terciles(spark):
+    """Exact-percentile bucketing agrees with numpy type-7 quantiles:
+    bucket 0 holds the scores >= q(2/3), bucket 2 the scores < q(1/3),
+    and the buckets partition the corpus."""
+    from mashspark.lm import perplexity_buckets
+
+    rng = np.random.RandomState(7)
+    scores = rng.uniform(0, 100, size=301)
+    df = spark.createDataFrame(
+        [(int(i), float(s)) for i, s in enumerate(scores)],
+        "doc_id long, score double")
+    got = {r.doc_id: r.bucket
+           for r in perplexity_buckets(df, "score", exact=True).collect()}
+    c1, c2 = np.quantile(scores, [1 / 3, 2 / 3])  # numpy default: type 7
+    want = {i: (0 if s >= c2 else 1 if s >= c1 else 2)
+            for i, s in enumerate(scores)}
+    assert got == want
+    sizes = sorted(
+        np.bincount(np.array(list(got.values()), dtype=int)).tolist())
+    assert sizes == [100, 100, 101]
+
+
+def test_perplexity_buckets_degenerate_and_null(spark):
+    """All-equal scores collapse into bucket 0; NULL scores are routed
+    to the tail bucket."""
+    from mashspark.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, 5.0), (3, None)],
+        "doc_id long, score double")
+    got = {r.doc_id: r.bucket
+           for r in perplexity_buckets(df, "score", exact=True).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2}
+
+
+def test_perplexity_buckets_assignment_is_map_only(spark):
+    """Scale guard: after the one tiny cutoff aggregate, bucket
+    assignment is a pure projection — no Window (i.e. no global ntile
+    sort) and no Exchange in the returned plan."""
+    from mashspark.lm import perplexity_buckets
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("score"))
+    plan = perplexity_buckets(df, "score")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange" not in plan
