@@ -343,6 +343,36 @@ def cmd_dedup_against(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_route(spark: SparkSession, args) -> int:
+    """CCNet-style quality routing (beyond the reference): train an
+    n-gram LM on a reference corpus (--ref; default: the input itself),
+    score every input doc, split into --buckets perplexity tiers, and
+    write the corpus partitioned by tier — downstream jobs read only
+    the head partition(s). Bucket 0 = closest to the reference
+    register."""
+    from .lm import perplexity_buckets, score_documents, unigram_counts
+
+    docs = load_docs(spark, args.input)
+    ref = load_docs(spark, args.ref) if args.ref else docs
+    model = unigram_counts(ref, n=args.ngram)
+    scored = score_documents(docs, model, n=args.ngram,
+                             broadcast_counts=not args.no_broadcast)
+    routed = perplexity_buckets(scored, n_buckets=args.buckets)
+    # left join back: a doc with zero tokens has no score row — route
+    # it to the tail rather than dropping it
+    out = docs.join(
+        routed.select("doc_id", "bucket", "n_tokens",
+                      "logprob_per_token"),
+        "doc_id", "left").fillna({"bucket": args.buckets - 1})
+    out.write.mode("overwrite").partitionBy("bucket").parquet(args.output)
+    sizes = {int(r.bucket): int(r.n)
+             for r in spark.read.parquet(args.output).groupBy("bucket")
+             .agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"bucket_sizes": sizes, "output": args.output}),
+          file=sys.stderr)
+    return 0
+
+
 def cmd_stream(spark: SparkSession, args) -> int:
     """Streaming incremental dedup (beyond the reference — the crawl
     firehose): consume a parquet document directory as a Structured
@@ -480,6 +510,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_dedup, min_copies=1)
+
+    p = sub.add_parser(
+        "route",
+        help="LM-score and split a corpus into perplexity tiers")
+    p.add_argument("--ref", help="reference corpus to train the LM on "
+                                 "(default: the input itself)")
+    p.add_argument("-n", "--ngram", type=int, default=1)
+    p.add_argument("-b", "--buckets", type=int, default=3)
+    p.add_argument("--no-broadcast", action="store_true",
+                   help="shuffle-join the model instead of broadcasting "
+                        "(vocab larger than executor memory)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_route, min_copies=1)
 
     p = sub.add_parser(
         "dedup-against",

@@ -238,3 +238,25 @@ def test_cli_dedup_against(spark, docs_parquet, tmp_path, capsys):
 
     assert cli.main(["dedup-against", *FLAGS, "-o",
                      str(tmp_path / "xd3.out"), new]) == 2
+
+
+def test_cli_route_perplexity_tiers(spark, docs_parquet, tmp_path, capsys):
+    """route: LM-score + tier-split the corpus; output is partitioned
+    by bucket, every input doc lands in exactly one tier, and the tier
+    sizes printed to stderr agree with the parquet."""
+    out = str(tmp_path / "routed")
+    rc = cli.main(["route", "-b", "3", "-o", out, docs_parquet])
+    assert rc == 0
+    stderr = capsys.readouterr().err
+    sizes = json.loads(stderr.strip().splitlines()[-1])["bucket_sizes"]
+    routed = spark.read.parquet(out)
+    assert routed.count() == 12
+    assert set(routed.columns) >= {"doc_id", "text", "bucket"}
+    got = {int(r.bucket): int(r.n) for r in
+           routed.groupBy("bucket").count().withColumnRenamed(
+               "count", "n").collect()}
+    assert got == {int(k): v for k, v in sizes.items()}
+    assert sum(got.values()) == 12
+    # partition layout: one directory per tier
+    assert sorted(d for d in os.listdir(out) if d.startswith("bucket=")) \
+        == [f"bucket={b}" for b in sorted(got)]
