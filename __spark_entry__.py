@@ -1048,6 +1048,23 @@ def _q_mixture_plan_rollup(spark, sf_dir):
     )
 
 
+def _q_bloom_cross_flags(spark, sf_dir):
+    """Bloom-prefiltered cross-corpus membership (bloom.membership_flags):
+    odd-id docs + a re-keyed slice of the even half checked against the
+    even half as the reference corpus. The Bloom probe is a map-only
+    broadcast-bitmap prefilter; the exact confirm semi-join sees only its
+    survivors, so the result equals the oracle's plain semi-join exactly."""
+    from mashspark.bloom import membership_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    overlap = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(overlap)
+    return membership_flags(new, ref, fpp=0.01)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1109,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_decisions": _q_cross_dedup_decisions,
         "cluster_representatives": _q_cluster_representatives,
         "epoch_shuffle_keys": _q_epoch_shuffle_keys,
+        "bloom_cross_flags": _q_bloom_cross_flags,
     }
 
 
@@ -2210,5 +2228,22 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, token ASC
                 ) AS term_rank FROM scored
             ) WHERE term_rank <= 3
+        """,
+        # the Bloom filter is a plan-level prefilter; the confirmed
+        # result is definitionally a plain semi-join on the text
+        "bloom_cross_flags": """
+            WITH ref AS (
+                SELECT text FROM documents WHERE doc_id % 2 = 0
+            ),
+            new_docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT n.doc_id,
+                   EXISTS (SELECT 1 FROM ref r WHERE r.text = n.text)
+                       AS in_reference
+            FROM new_docs n
         """,
     }
