@@ -1065,6 +1065,24 @@ def _q_bloom_cross_flags(spark, sf_dir):
     return membership_flags(new, ref, fpp=0.01)
 
 
+def _q_dsir_ratio_scores(spark, sf_dir):
+    """DSIR importance scoring (dsir.ratio_scores): target LM = even-id
+    English docs, source LM = even-id non-English docs, every odd doc
+    scored. Contract columns are the exact integer token/count masses;
+    the float log-ratio and the Gumbel-top-k draw are pytest-pinned
+    (float log sums are engine-order-dependent)."""
+    from mashspark.dsir import ratio_scores
+    from mashspark.lm import unigram_counts
+
+    docs = _docs(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = unigram_counts(even.filter(F.col("lang") == "en"))
+    src = unigram_counts(even.filter(F.col("lang") != "en"))
+    return ratio_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), tgt, src
+    ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1127,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": _q_cluster_representatives,
         "epoch_shuffle_keys": _q_epoch_shuffle_keys,
         "bloom_cross_flags": _q_bloom_cross_flags,
+        "dsir_ratio_scores": _q_dsir_ratio_scores,
     }
 
 
@@ -2245,5 +2264,38 @@ def oracle_sql() -> dict[str, str]:
                    EXISTS (SELECT 1 FROM ref r WHERE r.text = n.text)
                        AS in_reference
             FROM new_docs n
+        """,
+        # two unigram models (even-id en / even-id non-en), odd docs
+        # scored; the integer masses are the contract, floats are pytest
+        "dsir_ratio_scores": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, lang, token FROM tok
+                     WHERE token <> ''),
+            mt AS (
+                SELECT token, count(*) AS cnt_t FROM tok2
+                WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY token
+            ),
+            ms AS (
+                SELECT token, count(*) AS cnt_s FROM tok2
+                WHERE doc_id % 2 = 0 AND lang <> 'en' GROUP BY token
+            ),
+            per AS (
+                SELECT doc_id, token, count(*) AS occ FROM tok2
+                WHERE doc_id % 2 = 1 GROUP BY doc_id, token
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.occ) AS BIGINT) AS n_tokens,
+                   CAST(sum(COALESCE(mt.cnt_t, 0) * p.occ) AS BIGINT)
+                       AS sum_count_target,
+                   CAST(sum(COALESCE(ms.cnt_s, 0) * p.occ) AS BIGINT)
+                       AS sum_count_source
+            FROM per p
+            LEFT JOIN mt USING (token)
+            LEFT JOIN ms USING (token)
+            GROUP BY p.doc_id
         """,
     }

@@ -1,0 +1,152 @@
+"""DSIR-style importance resampling: select training documents whose
+n-gram distribution looks like a TARGET corpus rather than the raw
+SOURCE pool (Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023 — public method; no reference-code
+analog, this is a training-data pipeline operator beyond marbl/Mash).
+
+Two stages, both shuffle-lean:
+
+1. SCORE (``ratio_scores``): per-doc importance = log p_target(doc) -
+   log p_source(doc) under two add-one-smoothed n-gram unigram LMs
+   (trained with ``lm.unigram_counts``). One tokenize pass, one
+   per-(doc, token) map-side-partial groupBy, two model joins (broadcast
+   when the vocabularies fit — millions of terms — else shuffled with
+   AQE skew split), one per-doc rollup. The exact integer masses
+   (n_tokens, sum_count_target, sum_count_source) ride along as the
+   oracle-checkable contract surface; the float log-ratio is the model
+   score for real use.
+
+2. SELECT (``dsir_select``): Gumbel top-k — add hash-derived Gumbel
+   noise g = -log(-log(u)) to each score and keep the k largest, which
+   draws a WITHOUT-replacement sample distributed as softmax(score)
+   (the Gumbel-top-k trick; Vieira 2014). The uniform u comes from
+   ``sampling.hash_uniform`` (md5-based), so the draw is reproducible
+   under repartitioning, resume, and append — ``rand()`` is none of
+   those. Two execution modes:
+
+   * ``mode="threshold"`` (default, the 10^12-doc path): one tiny
+     ``percentile_approx`` aggregate finds the (1 - k/N) cutoff of the
+     perturbed key, then a map-only filter keeps ~k docs — no global
+     sort, no driver collect. ``exact=True`` switches to exact
+     ``percentile`` for small/test corpora.
+   * ``mode="exact"``: ``orderBy(key desc).limit(k)`` — Spark's
+     TakeOrderedAndProject (per-partition top-k, driver merge of k
+     rows per partition); exactly k rows, right when k is driver-sized
+     (up to ~10^6), wrong when k itself is huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .lm import _tokens
+from .sampling import _SCALE, hash_uniform
+
+
+def _model_totals(counts: DataFrame) -> tuple[int, int]:
+    row = counts.agg(
+        F.sum("count").alias("n"), F.count("*").alias("v")).collect()[0]
+    return int(row.n or 0), int(row.v or 0)
+
+
+def ratio_scores(
+    docs: DataFrame,
+    target_counts: DataFrame,
+    source_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """-> (doc_id, n_tokens, sum_count_target, sum_count_source,
+    logratio, logratio_per_token).
+
+    ``logratio`` = sum over the doc's term positions of
+    log((c_t+1)/(N_t+V_t)) - log((c_s+1)/(N_s+V_s)) — positive when the
+    doc reads like the target register. Integer columns are exact and
+    order-independent (the hash-compare contract); the float log sums
+    are pytest territory. Both models must be trained with the same
+    ``n`` passed here.
+    """
+    tgt = target_counts.select(
+        "token", F.col("count").alias("cnt_t"))
+    src = source_counts.select(
+        "token", F.col("count").alias("cnt_s"))
+    if broadcast_counts:
+        tgt, src = F.broadcast(tgt), F.broadcast(src)
+    nt, vt = _model_totals(target_counts)
+    ns, vs = _model_totals(source_counts)
+    # an empty model scores every term as the same OOV constant
+    # (denominator clamped to 1) instead of dividing by zero
+    denom_t = float(max(nt + vt, 1))
+    denom_s = float(max(ns + vs, 1))
+    per_tok = (
+        _tokens(docs.select(id_col, text_col), text_col, n)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("occ"))
+        .join(tgt, "token", "left")
+        .join(src, "token", "left")
+    )
+    lr = (
+        F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1) / denom_t)
+        - F.log((F.coalesce(F.col("cnt_s"), F.lit(0)) + 1) / denom_s)
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("cnt_t"), F.lit(0)) * F.col("occ"))
+            .alias("sum_count_target"),
+            F.sum(F.coalesce(F.col("cnt_s"), F.lit(0)) * F.col("occ"))
+            .alias("sum_count_source"),
+            F.sum(lr * F.col("occ")).alias("logratio"),
+            (F.sum(lr * F.col("occ")) / F.sum("occ"))
+            .alias("logratio_per_token"),
+        )
+    )
+
+
+def gumbel_key(score_col: Column, id_col: Column,
+               salt: str = "dsir:42") -> Column:
+    """score + Gumbel(0,1) noise derived from the stable md5 uniform:
+    u = (hash+0.5)/2^32 is in (0,1) exclusive, so -log(-log(u)) is
+    always finite. Deterministic per (id, salt)."""
+    u = (hash_uniform(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(_SCALE))
+    return score_col + (-F.log(-F.log(u)))
+
+
+def dsir_select(
+    scored: DataFrame,
+    n_select: int,
+    score_col: str = "logratio",
+    id_col: str = "doc_id",
+    salt: str = "dsir:42",
+    mode: str = "threshold",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep ~``n_select`` docs by Gumbel-top-k over ``score_col``.
+
+    See the module docstring for the mode trade-off. Returns ``scored``
+    filtered, plus the perturbed ``gumbel_key`` column (callers sort or
+    re-threshold on it downstream).
+    """
+    if n_select <= 0:
+        raise ValueError(f"n_select must be positive, got {n_select}")
+    key = gumbel_key(F.col(score_col).cast("double"), F.col(id_col), salt)
+    out = scored.withColumn("gumbel_key", key)
+    if mode == "exact":
+        return out.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(n_select)
+    if mode != "threshold":
+        raise ValueError(f"unknown mode {mode!r}")
+    total = scored.count()
+    if n_select >= total:
+        return out
+    q = 1.0 - n_select / total
+    col = F.col("gumbel_key")
+    agg = (F.percentile(col, F.lit(q)) if exact
+           else F.percentile_approx(col, F.lit(q), F.lit(accuracy)))
+    cutoff = out.agg(agg.alias("c")).collect()[0]["c"]
+    return out.filter(col >= F.lit(float(cutoff)))
