@@ -373,6 +373,54 @@ def cmd_route(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_select(spark: SparkSession, args) -> int:
+    """DSIR data selection (beyond the reference): score every input doc
+    by its n-gram log-likelihood ratio between a target-register LM
+    (--target) and a source-pool LM (--source; default: the input
+    itself), keep ~--n-select docs via reproducible Gumbel-top-k, write
+    the selected docs with their scores."""
+    from .dsir import dsir_select, ratio_scores
+    from .lm import unigram_counts
+
+    docs = load_docs(spark, args.input)
+    tgt = unigram_counts(load_docs(spark, args.target), n=args.ngram)
+    src_docs = load_docs(spark, args.source) if args.source else docs
+    src = unigram_counts(src_docs, n=args.ngram)
+    scored = ratio_scores(docs, tgt, src, n=args.ngram,
+                          broadcast_counts=not args.no_broadcast)
+    picked = dsir_select(scored, args.n_select, salt=args.salt,
+                         mode=args.mode)
+    out = docs.join(
+        picked.select("doc_id", "logratio", "logratio_per_token",
+                      "gumbel_key"),
+        "doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"n_selected": n, "n_requested": args.n_select,
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
+def cmd_member(spark: SparkSession, args) -> int:
+    """Cross-corpus membership (beyond the reference): flag every input
+    doc whose --column value occurs in the reference corpus, via the
+    Bloom-prefiltered exact semi-join (bloom.membership_flags). With
+    --no-confirm the Bloom verdict is written directly (no join at all;
+    ~--fpp false positives, never false negatives)."""
+    from .bloom import membership_flags
+
+    flags = membership_flags(
+        load_docs(spark, args.input), load_docs(spark, args.ref),
+        fp_col=args.column, fpp=args.fpp, confirm=not args.no_confirm)
+    flags.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    metrics = {"n_docs": out.count(),
+               "n_in_reference": out.filter("in_reference").count(),
+               "exact": not args.no_confirm}
+    print(json.dumps(metrics), file=sys.stderr)
+    return 0
+
+
 def cmd_stream(spark: SparkSession, args) -> int:
     """Streaming incremental dedup (beyond the reference — the crawl
     firehose): consume a parquet document directory as a Structured
@@ -524,6 +572,46 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_route, min_copies=1)
+
+    p = sub.add_parser(
+        "select",
+        help="DSIR: keep docs whose n-grams match a target corpus")
+    p.add_argument("--target", required=True,
+                   help="target-register docs parquet (trains the "
+                        "numerator LM)")
+    p.add_argument("--source", help="source-pool docs for the "
+                                    "denominator LM (default: the input)")
+    p.add_argument("-n", "--ngram", type=int, default=1)
+    p.add_argument("--n-select", type=int, required=True,
+                   help="approximate number of docs to keep")
+    p.add_argument("--mode", choices=["threshold", "exact"],
+                   default="threshold",
+                   help="threshold: quantile cutoff, no global sort "
+                        "(the at-scale path); exact: top-k via ordered "
+                        "limit (driver-sized k)")
+    p.add_argument("--salt", default="dsir:42",
+                   help="resampling salt (same salt = same draw)")
+    p.add_argument("--no-broadcast", action="store_true",
+                   help="shuffle-join the models instead of broadcasting")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_select, min_copies=1)
+
+    p = sub.add_parser(
+        "member",
+        help="flag docs already present in a reference corpus "
+             "(Bloom-prefiltered exact membership)")
+    p.add_argument("--ref", required=True, help="reference docs parquet")
+    p.add_argument("--column", default="text",
+                   help="fingerprint column compared across corpora")
+    p.add_argument("--fpp", type=float, default=0.01,
+                   help="Bloom false-positive rate the filter is sized for")
+    p.add_argument("--no-confirm", action="store_true",
+                   help="skip the exact confirm join; accept ~fpp false "
+                        "positives (never false negatives)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_member, min_copies=1)
 
     p = sub.add_parser(
         "dedup-against",

@@ -260,3 +260,44 @@ def test_cli_route_perplexity_tiers(spark, docs_parquet, tmp_path, capsys):
     # partition layout: one directory per tier
     assert sorted(d for d in os.listdir(out) if d.startswith("bucket=")) \
         == [f"bucket={b}" for b in sorted(got)]
+
+
+def test_cli_select_dsir(spark, docs_parquet, tmp_path, capsys):
+    """select: exact-mode DSIR keeps exactly --n-select docs, and with a
+    target LM trained on family-0 vocabulary the family-0 docs (ids 0
+    and 6) must win — their log-ratio dwarfs the Gumbel noise."""
+    rng = np.random.RandomState(7)
+    words = [f"tok0q{j}" for j in range(12)]
+    target = _mkdocs(
+        spark, str(tmp_path / "tgt.parquet"),
+        [(1000 + i,
+          " ".join(words[rng.randint(0, len(words))] for _ in range(120)))
+         for i in range(3)])
+    out = str(tmp_path / "selected")
+    rc = cli.main(["select", "--target", target, "--n-select", "2",
+                   "--mode", "exact", "-o", out, docs_parquet])
+    assert rc == 0
+    stderr = capsys.readouterr().err
+    metrics = json.loads(stderr.strip().splitlines()[-1])
+    assert metrics["n_selected"] == 2
+    sel = spark.read.parquet(out)
+    assert {r.doc_id for r in sel.select("doc_id").collect()} == {0, 6}
+    assert set(sel.columns) >= {"doc_id", "text", "logratio", "gumbel_key"}
+
+
+def test_cli_member_bloom(spark, docs_parquet, tmp_path, capsys):
+    """member: exact membership flags through the Bloom prefilter —
+    input docs whose text exists in the reference (the family copies of
+    ids 0..2) flag true, everything else false."""
+    ref = str(tmp_path / "mref.parquet")
+    spark.read.parquet(docs_parquet).filter("doc_id < 3").write.mode(
+        "overwrite").parquet(ref)
+    out = str(tmp_path / "member.out")
+    rc = cli.main(["member", "--ref", ref, "-o", out, docs_parquet])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert metrics == {"n_docs": 12, "n_in_reference": 6, "exact": True}
+    flags = {r.doc_id: r.in_reference
+             for r in spark.read.parquet(out).collect()}
+    # ids 0..2 are the reference itself; 6..8 are their family copies
+    assert {i for i, v in flags.items() if v} == {0, 1, 2, 6, 7, 8}
