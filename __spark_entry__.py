@@ -1083,6 +1083,45 @@ def _q_dsir_ratio_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+# BPE training is iterative (argmax per merge round); memoize the merge
+# table per (app, sf_dir) so both bpe_* queries share one training run
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        from mashspark.bpe import train_bpe
+
+        docs = _docs(spark, sf_dir)
+        _BPE_CACHE[key] = train_bpe(
+            docs.filter(F.col("doc_id") % 2 == 0), n_merges=12)
+    return _BPE_CACHE[key]
+
+
+def _q_bpe_trained_merges(spark, sf_dir):
+    """Distributed BPE training (bpe.train_bpe, 12 merges on the even-id
+    half): the learned merge table. Rows-only (iterative argmax is not
+    SQL-expressible); exact merge-sequence parity with an independent
+    pure-Python reference is pinned by pytest."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def _q_bpe_encoded_lengths(spark, sf_dir):
+    """Full BPE train+encode path (bpe.encode_bpe): every doc encoded
+    with the trained merges, token count per doc. Rows-only; encode
+    parity and losslessness are pytest-pinned."""
+    from mashspark.bpe import encode_bpe
+
+    merges = _bpe_merges(spark, sf_dir)
+    return encode_bpe(_docs(spark, sf_dir), merges).select(
+        "doc_id", "n_bpe_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1146,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_keys": _q_epoch_shuffle_keys,
         "bloom_cross_flags": _q_bloom_cross_flags,
         "dsir_ratio_scores": _q_dsir_ratio_scores,
+        "bpe_trained_merges": _q_bpe_trained_merges,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
     }
 
 
