@@ -421,6 +421,33 @@ def cmd_member(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_tokenize(spark: SparkSession, args) -> int:
+    """BPE tokenizer train + encode (beyond the reference): learn
+    --merges merges from the corpus (or a --train sample — at web scale
+    train on a deterministic hash-sample and encode everything), encode
+    every doc, write encoded parquet + the merge table."""
+    from .bpe import encode_bpe, train_bpe
+
+    docs = load_docs(spark, args.input)
+    train = load_docs(spark, args.train) if args.train else docs
+    merges = train_bpe(train, n_merges=args.merges,
+                       min_frequency=args.min_frequency)
+    enc = encode_bpe(docs, merges)
+    enc.write.mode("overwrite").parquet(os.path.join(args.output, "encoded"))
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).coalesce(1).write.mode("overwrite").json(
+        os.path.join(args.output, "merges"))
+    out = spark.read.parquet(os.path.join(args.output, "encoded"))
+    stats = out.agg(F.count("*").alias("n"),
+                    F.sum("n_bpe_tokens").alias("toks")).collect()[0]
+    print(json.dumps({"n_merges": len(merges), "n_docs": int(stats.n),
+                      "total_bpe_tokens": int(stats.toks or 0),
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
 def cmd_stream(spark: SparkSession, args) -> int:
     """Streaming incremental dedup (beyond the reference — the crawl
     firehose): consume a parquet document directory as a Structured
@@ -612,6 +639,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_member, min_copies=1)
+
+    p = sub.add_parser(
+        "tokenize",
+        help="train a BPE tokenizer and encode the corpus with it")
+    p.add_argument("--train", help="training docs parquet (default: the "
+                                   "input; at scale pass a hash-sample)")
+    p.add_argument("-m", "--merges", type=int, default=512,
+                   help="max BPE merges to learn")
+    p.add_argument("--min-frequency", type=int, default=2,
+                   help="stop when the best pair is rarer than this")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_tokenize, min_copies=1)
 
     p = sub.add_parser(
         "dedup-against",

@@ -301,3 +301,21 @@ def test_cli_member_bloom(spark, docs_parquet, tmp_path, capsys):
              for r in spark.read.parquet(out).collect()}
     # ids 0..2 are the reference itself; 6..8 are their family copies
     assert {i for i, v in flags.items() if v} == {0, 1, 2, 6, 7, 8}
+
+
+def test_cli_tokenize_bpe(spark, docs_parquet, tmp_path, capsys):
+    """tokenize: BPE train + encode through the CLI — encoded parquet
+    and merge table written, token totals consistent, merges capped."""
+    out = str(tmp_path / "tok")
+    rc = cli.main(["tokenize", "-m", "16", "-o", out, docs_parquet])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert metrics["n_docs"] == 12
+    assert 0 < metrics["n_merges"] <= 16
+    enc = spark.read.parquet(os.path.join(out, "encoded"))
+    assert enc.count() == 12
+    row = enc.filter("doc_id = 0").collect()[0]
+    assert row.n_bpe_tokens == len(row.bpe_tokens)
+    merges = spark.read.json(os.path.join(out, "merges"))
+    assert merges.count() == metrics["n_merges"]
+    assert set(merges.columns) >= {"rank", "left", "right"}
