@@ -1122,6 +1122,25 @@ def _q_bpe_encoded_lengths(spark, sf_dir):
         "doc_id", "n_bpe_tokens")
 
 
+def _q_canonical_dup_groups(spark, sf_dir):
+    """Canonical-text dedup (normalize.canonical_dup_groups): fixture
+    seeded with case-perturbed and whitespace/punctuation-perturbed
+    copies (identically in the DuckDB oracle); canonical grouping must
+    map every copy back to its original while byte-exact dedup cannot."""
+    from mashspark.normalize import canonical_dup_groups
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    upper = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"))
+    spaced = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "),
+                 F.lit(" !! ")).alias("text"))
+    seeded = d.unionByName(upper).unionByName(spaced)
+    return canonical_dup_groups(seeded)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1187,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ratio_scores": _q_dsir_ratio_scores,
         "bpe_trained_merges": _q_bpe_trained_merges,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
+        "canonical_dup_groups": _q_canonical_dup_groups,
     }
 
 
@@ -2338,5 +2358,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN mt USING (token)
             LEFT JOIN ms USING (token)
             GROUP BY p.doc_id
+        """,
+        # same seeded perturbations, same canonical form (lower ->
+        # collapse non-alnum runs -> mask digits -> trim), min-id group
+        "canonical_dup_groups": """
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id,
+                       '  ' || replace(text, ' ', '   ') || ' !! ' AS text
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            canon AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9]+', ' ', 'g'),
+                           '[0-9]', '0', 'g'))) AS fp
+                FROM seeded
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep_id
+            FROM canon
         """,
     }
