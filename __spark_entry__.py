@@ -1141,6 +1141,16 @@ def _q_canonical_dup_groups(spark, sf_dir):
     return canonical_dup_groups(seeded)
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Per-(lang, source) corpus profile (profile.group_profile): exact
+    volumes, distinct-text counts (dedup headroom), token extremes —
+    two chained map-side-partial aggregations, never count(distinct)'s
+    Expand."""
+    from mashspark.profile import group_profile
+
+    return group_profile(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1207,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trained_merges": _q_bpe_trained_merges,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "canonical_dup_groups": _q_canonical_dup_groups,
+        "corpus_profile": _q_corpus_profile,
     }
 
 
@@ -2381,5 +2392,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep_id
             FROM canon
+        """,
+        # same two-level shape: per-(stratum, md5) first, then rollup
+        "corpus_profile": r"""
+            WITH d AS (
+                SELECT lang, source, md5(text) AS fp,
+                       CAST(length(text) AS BIGINT) AS chars,
+                       CAST(len(list_filter(
+                           string_split_regex(text, '\s+'),
+                           x -> x <> '')) AS BIGINT) AS toks
+                FROM documents
+            ),
+            per AS (
+                SELECT lang, source, fp, count(*) AS n_copies,
+                       min(chars) AS chars, min(toks) AS toks
+                FROM d GROUP BY lang, source, fp
+            )
+            SELECT lang, source,
+                   CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct_texts,
+                   CAST(sum(chars * n_copies) AS BIGINT) AS sum_chars,
+                   CAST(sum(toks * n_copies) AS BIGINT) AS sum_tokens,
+                   CAST(min(toks) AS BIGINT) AS min_tokens,
+                   CAST(max(toks) AS BIGINT) AS max_tokens
+            FROM per GROUP BY lang, source
         """,
     }

@@ -421,6 +421,25 @@ def cmd_member(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_profile(spark: SparkSession, args) -> int:
+    """Corpus composition report (the webtext `mash info`): global
+    summary JSON to stderr + per-stratum profile parquet (exact
+    volumes, distinct texts = dedup headroom, token extremes)."""
+    from .profile import corpus_summary, group_profile
+
+    docs = load_docs(spark, args.input)
+    keys = [k for k in args.by.split(",") if k]
+    prof = group_profile(docs, keys=keys)
+    if args.output:
+        prof.write.mode("overwrite").parquet(args.output)
+    summary = corpus_summary(docs)
+    print(json.dumps({"summary": summary,
+                      "n_strata": prof.count(),
+                      "by": keys,
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
 def cmd_tokenize(spark: SparkSession, args) -> int:
     """BPE tokenizer train + encode (beyond the reference): learn
     --merges merges from the corpus (or a --train sample — at web scale
@@ -639,6 +658,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_member, min_copies=1)
+
+    p = sub.add_parser(
+        "profile",
+        help="corpus composition report: volumes, dedup headroom, "
+             "token stats")
+    p.add_argument("--by", default="lang,source",
+                   help="comma-separated stratum columns")
+    p.add_argument("-o", "--output", default=None,
+                   help="write the per-stratum profile parquet here")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_profile, min_copies=1)
 
     p = sub.add_parser(
         "tokenize",

@@ -319,3 +319,18 @@ def test_cli_tokenize_bpe(spark, docs_parquet, tmp_path, capsys):
     merges = spark.read.json(os.path.join(out, "merges"))
     assert merges.count() == metrics["n_merges"]
     assert set(merges.columns) >= {"rank", "left", "right"}
+
+
+def test_cli_profile(spark, docs_parquet, tmp_path, capsys):
+    """profile: global summary JSON + per-stratum parquet. The fixture
+    has 6 families duplicated once each: dedup headroom must be 6."""
+    out = str(tmp_path / "prof")
+    rc = cli.main(["profile", "--by", "", "-o", out, docs_parquet])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert info["summary"]["n_docs"] == 12
+    assert info["n_strata"] == 1  # no stratum columns -> one global row
+    prof = spark.read.parquet(out).collect()
+    assert len(prof) == 1
+    assert prof[0].n_docs == 12
+    assert prof[0].n_docs - prof[0].n_distinct_texts == 6
