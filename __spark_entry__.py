@@ -1151,6 +1151,21 @@ def _q_corpus_profile(spark, sf_dir):
     return group_profile(_docs(spark, sf_dir))
 
 
+def _q_backoff_hit_orders(spark, sf_dir):
+    """Stupid Backoff scoring (backoff.stupid_backoff_scores, order 3,
+    models on the even-id half, odd docs scored): per-doc counts of
+    positions resolved at each n-gram order — the exact-integer
+    contract; the float log score is pytest-pinned."""
+    from mashspark.backoff import ngram_models, stupid_backoff_scores
+
+    docs = _docs(spark, sf_dir)
+    models = ngram_models(docs.filter(F.col("doc_id") % 2 == 0), 3)
+    return stupid_backoff_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), models
+    ).select("doc_id", "n_positions", "n_hits_3", "n_hits_2",
+             "n_hits_1", "n_oov")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1218,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
+        "backoff_hit_orders": _q_backoff_hit_orders,
     }
 
 
@@ -2416,5 +2432,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(toks) AS BIGINT) AS min_tokens,
                    CAST(max(toks) AS BIGINT) AS max_tokens
             FROM per GROUP BY lang, source
+        """,
+        # order-3 backoff resolution: highest n-gram order (trained on
+        # the even half) seen at each position of each odd doc
+        "backoff_hit_orders": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            tr AS (SELECT ws FROM toks WHERE doc_id % 2 = 0),
+            m1 AS (
+                SELECT g AS g1 FROM (
+                    SELECT unnest(ws) AS g FROM tr) GROUP BY g
+            ),
+            m2 AS (
+                SELECT g AS g2 FROM (
+                    SELECT ws[CAST(i AS INT)] || ' ' ||
+                           ws[CAST(i AS INT)+1] AS g
+                    FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                          FROM tr)) GROUP BY g
+            ),
+            m3 AS (
+                SELECT g AS g3 FROM (
+                    SELECT ws[CAST(i AS INT)] || ' ' ||
+                           ws[CAST(i AS INT)+1] || ' ' ||
+                           ws[CAST(i AS INT)+2] AS g
+                    FROM (SELECT ws, unnest(range(1, len(ws)-1)) AS i
+                          FROM tr)) GROUP BY g
+            ),
+            posrel AS (
+                SELECT doc_id, ws, CAST(unnest(range(1, len(ws)+1))
+                       AS INT) AS i
+                FROM toks WHERE doc_id % 2 = 1
+            ),
+            feat AS (
+                SELECT doc_id,
+                       ws[i] AS f1,
+                       CASE WHEN i >= 2 THEN
+                           ws[i-1] || ' ' || ws[i] END AS f2,
+                       CASE WHEN i >= 3 THEN
+                           ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]
+                       END AS f3
+                FROM posrel
+            ),
+            res AS (
+                SELECT doc_id,
+                       CASE WHEN m3.g3 IS NOT NULL THEN 3
+                            WHEN m2.g2 IS NOT NULL THEN 2
+                            WHEN m1.g1 IS NOT NULL THEN 1
+                            ELSE 0 END AS r
+                FROM feat
+                LEFT JOIN m3 ON feat.f3 = m3.g3
+                LEFT JOIN m2 ON feat.f2 = m2.g2
+                LEFT JOIN m1 ON feat.f1 = m1.g1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_positions,
+                   CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_hits_3,
+                   CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_hits_2,
+                   CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_hits_1,
+                   CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov
+            FROM res GROUP BY doc_id
         """,
     }
