@@ -147,14 +147,43 @@ def bloom_probe_udf(df: DataFrame, bloom: BloomFilter):
     return probe
 
 
+def save_bloom(spark, bloom: BloomFilter, path: str) -> None:
+    """Persist a built filter: sparse nonzero words as parquet +
+    a one-row params table. Both go through Spark writers so the store
+    lands on whatever filesystem the cluster uses (HDFS/S3/local)."""
+    import os
+
+    nz = np.nonzero(bloom.words)[0]
+    rows = [(int(i), int(np.int64(bloom.words[i]))) for i in nz]
+    spark.createDataFrame(rows or [(int(0), int(0))],
+                          "word_idx long, word long") \
+        .write.mode("overwrite").parquet(os.path.join(path, "words"))
+    spark.createDataFrame([(bloom.m_bits, bloom.k, len(rows))],
+                          "m_bits long, k long, n_words long") \
+        .coalesce(1).write.mode("overwrite").json(
+            os.path.join(path, "params"))
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Load a filter written by save_bloom."""
+    import os
+
+    p = spark.read.json(os.path.join(path, "params")).collect()[0]
+    dense = np.zeros((int(p.m_bits) + 63) // 64, dtype=np.uint64)
+    for row in spark.read.parquet(os.path.join(path, "words")).collect():
+        dense[row.word_idx] = np.uint64(np.int64(row.word))
+    return BloomFilter(m_bits=int(p.m_bits), k=int(p.k), words=dense)
+
+
 def membership_flags(
     new_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None,
     fp_col: str = "text",
     id_col: str = "doc_id",
     fpp: float = 0.01,
     expected_items: int | None = None,
     confirm: bool = True,
+    bloom: BloomFilter | None = None,
 ) -> DataFrame:
     """-> (doc_id, in_reference): does each new doc's ``fp_col`` value
     occur anywhere in the reference corpus?
@@ -166,12 +195,24 @@ def membership_flags(
     ``confirm=False`` the probe's verdict is returned directly
     (no-false-negative, fpp false positives) and the reference corpus
     is never joined at all — the streaming-friendly mode.
+
+    Pass a prebuilt/loaded ``bloom`` (see save_bloom/load_bloom) to skip
+    the build; with ``confirm=False`` that makes ``ref_docs`` optional —
+    the incremental-pipeline mode where the reference filter is a
+    persisted artifact.
     """
-    ref_fps = ref_docs.select(F.col(fp_col).alias("_fp")).distinct()
-    if expected_items is None:
-        expected_items = ref_fps.count()
-    m_bits, k = bloom_size(expected_items, fpp)
-    bloom = build_bloom(ref_fps, "_fp", m_bits, k)
+    if ref_docs is None and (bloom is None or confirm):
+        raise ValueError(
+            "ref_docs is required unless a prebuilt bloom is passed "
+            "with confirm=False")
+    ref_fps = None
+    if ref_docs is not None:
+        ref_fps = ref_docs.select(F.col(fp_col).alias("_fp")).distinct()
+    if bloom is None:
+        if expected_items is None:
+            expected_items = ref_fps.count()
+        m_bits, k = bloom_size(expected_items, fpp)
+        bloom = build_bloom(ref_fps, "_fp", m_bits, k)
     probe = bloom_probe_udf(new_docs, bloom)
 
     h1, h2 = bloom_hash_cols(F.col("_fp"))

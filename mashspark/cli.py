@@ -406,12 +406,33 @@ def cmd_member(spark: SparkSession, args) -> int:
     doc whose --column value occurs in the reference corpus, via the
     Bloom-prefiltered exact semi-join (bloom.membership_flags). With
     --no-confirm the Bloom verdict is written directly (no join at all;
-    ~--fpp false positives, never false negatives)."""
-    from .bloom import membership_flags
+    ~--fpp false positives, never false negatives). --bloom-store
+    persists the built filter; a later run loads it instead of
+    rebuilding, and with --no-confirm needs no --ref at all."""
+    import os as _os
 
+    from .bloom import (build_bloom, bloom_size, load_bloom,
+                        membership_flags, save_bloom)
+
+    bloom = None
+    store_has = args.bloom_store and _os.path.isdir(
+        _os.path.join(args.bloom_store, "params"))
+    if store_has:
+        bloom = load_bloom(spark, args.bloom_store)
+    if not args.ref and not (bloom is not None and args.no_confirm):
+        print("member: need --ref (or an existing --bloom-store "
+              "with --no-confirm)", file=sys.stderr)
+        return 2
+    ref = load_docs(spark, args.ref) if args.ref else None
+    if bloom is None and args.bloom_store:
+        ref_fps = ref.select(F.col(args.column).alias("_fp")).distinct()
+        m_bits, k = bloom_size(ref_fps.count(), args.fpp)
+        bloom = build_bloom(ref_fps, "_fp", m_bits, k)
+        save_bloom(spark, bloom, args.bloom_store)
     flags = membership_flags(
-        load_docs(spark, args.input), load_docs(spark, args.ref),
-        fp_col=args.column, fpp=args.fpp, confirm=not args.no_confirm)
+        load_docs(spark, args.input), ref,
+        fp_col=args.column, fpp=args.fpp, confirm=not args.no_confirm,
+        bloom=bloom)
     flags.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     metrics = {"n_docs": out.count(),
@@ -647,7 +668,8 @@ def build_parser() -> argparse.ArgumentParser:
         "member",
         help="flag docs already present in a reference corpus "
              "(Bloom-prefiltered exact membership)")
-    p.add_argument("--ref", required=True, help="reference docs parquet")
+    p.add_argument("--ref", help="reference docs parquet (optional when "
+                                 "--bloom-store exists and --no-confirm)")
     p.add_argument("--column", default="text",
                    help="fingerprint column compared across corpora")
     p.add_argument("--fpp", type=float, default=0.01,
@@ -655,6 +677,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-confirm", action="store_true",
                    help="skip the exact confirm join; accept ~fpp false "
                         "positives (never false negatives)")
+    p.add_argument("--bloom-store",
+                   help="persist/reuse the built filter at this path")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_member, min_copies=1)

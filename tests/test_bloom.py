@@ -139,3 +139,39 @@ def test_probe_wraps_word_boundaries():
         words[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
     bf = BloomFilter(m_bits=128, k=1, words=words)
     assert bf.n_set_bits == 4
+
+
+def test_save_load_roundtrip(spark, corpus, tmp_path):
+    import numpy as np
+
+    from mashspark.bloom import load_bloom, save_bloom
+
+    fps = corpus.select(F.col("text").alias("_fp")).distinct()
+    m, k = bloom_size(fps.count(), 0.01)
+    bloom = build_bloom(fps, "_fp", m, k)
+    path = str(tmp_path / "store")
+    save_bloom(spark, bloom, path)
+    back = load_bloom(spark, path)
+    assert back.m_bits == bloom.m_bits and back.k == bloom.k
+    assert np.array_equal(back.words, bloom.words)
+
+
+def test_prebuilt_bloom_skips_build_and_allows_refless_probe(
+        spark, corpus, tmp_path):
+    from mashspark.bloom import load_bloom, save_bloom
+
+    new, ref = _split(corpus)
+    fps = ref.select(F.col("text").alias("_fp")).distinct()
+    m, k = bloom_size(fps.count(), 0.01)
+    bloom = build_bloom(fps, "_fp", m, k)
+    path = str(tmp_path / "store2")
+    save_bloom(spark, bloom, path)
+    loaded = load_bloom(spark, path)
+    # probe-only mode needs no reference corpus at all
+    approx = membership_flags(new, None, confirm=False, bloom=loaded)
+    a = {r.doc_id for r in approx.collect() if r.in_reference}
+    exact = membership_flags(new, ref)
+    e = {r.doc_id for r in exact.collect() if r.in_reference}
+    assert e <= a
+    with pytest.raises(ValueError):
+        membership_flags(new, None)  # confirm without a ref is an error

@@ -334,3 +334,28 @@ def test_cli_profile(spark, docs_parquet, tmp_path, capsys):
     assert len(prof) == 1
     assert prof[0].n_docs == 12
     assert prof[0].n_docs - prof[0].n_distinct_texts == 6
+
+
+def test_cli_member_bloom_store_reuse(spark, docs_parquet, tmp_path, capsys):
+    """member --bloom-store: first run builds and persists the filter;
+    a second --no-confirm run needs no --ref and agrees on every true
+    member (probe-only may add fpp false positives, never miss)."""
+    ref = str(tmp_path / "sref.parquet")
+    spark.read.parquet(docs_parquet).filter("doc_id < 3").write.mode(
+        "overwrite").parquet(ref)
+    store = str(tmp_path / "bstore")
+    out1 = str(tmp_path / "m1.out")
+    assert cli.main(["member", "--ref", ref, "--bloom-store", store,
+                     "-o", out1, docs_parquet]) == 0
+    exact = {r.doc_id for r in spark.read.parquet(out1).collect()
+             if r.in_reference}
+    out2 = str(tmp_path / "m2.out")
+    assert cli.main(["member", "--bloom-store", store, "--no-confirm",
+                     "-o", out2, docs_parquet]) == 0
+    approx = {r.doc_id for r in spark.read.parquet(out2).collect()
+              if r.in_reference}
+    assert exact <= approx
+    capsys.readouterr()
+    # confirm mode without any ref source is a usage error
+    assert cli.main(["member", "--bloom-store", store,
+                     "-o", str(tmp_path / "m3.out"), docs_parquet]) == 2
