@@ -1166,6 +1166,41 @@ def _q_backoff_hit_orders(spark, sf_dir):
              "n_hits_1", "n_oov")
 
 
+def _q_fuzzy_contamination_pairs(spark, sf_dir):
+    """Per-item fuzzy decontamination (decontam.fuzzy_contamination_pairs,
+    n=5, threshold=0.6): benchmark items are the 150-char prefixes of
+    every 7th doc, so each source doc (and its near-dup family) must
+    cover its own item. Exact distinct-n-gram containment; the oracle
+    recomputes it over string n-gram sets."""
+    from mashspark.decontam import fuzzy_contamination_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 150).alias("text"))
+    return fuzzy_contamination_pairs(docs, bench, n=5, threshold=0.6)
+
+
+def _q_wet_roundtrip(spark, sf_dir):
+    """WET container connector (wet.write_wet -> wet.read_wet): the
+    fixture serialized into Common-Crawl-shaped multi-record text
+    archives and read back through the JVM lineSep record splitter.
+    Output is (url, text_md5); byte-identity vs the source table is the
+    oracle check, so any loss in the container round-trip fails."""
+    import tempfile
+
+    from mashspark.wet import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://ex.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    path = tempfile.mkdtemp(prefix="mashspark_wet_") + "/archive"
+    write_wet(docs, path, num_files=4)
+    return read_wet(spark, path).select(
+        "url", F.md5(F.col("text")).alias("text_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1234,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
+        "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
+        "wet_roundtrip": _q_wet_roundtrip,
     }
 
 
@@ -2499,5 +2536,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_oov
             FROM res GROUP BY doc_id
+        """,
+        # distinct word-5-gram containment of each bench item (150-char
+        # prefixes of every 7th doc) in every doc; integer cross-multiply
+        # threshold mirrors the Spark side exactly
+        "fuzzy_contamination_pairs": """
+            WITH docs_n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            bench_n AS (
+                SELECT doc_id AS bench_id,
+                       string_split(trim(regexp_replace(lower(
+                           substr(text, 1, 150)),
+                           '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            bg AS (
+                SELECT DISTINCT bench_id,
+                       array_to_string(list_slice(ws, CAST(i AS INT),
+                           CAST(i AS INT) + 4), ' ') AS g
+                FROM (SELECT bench_id, ws,
+                             unnest(range(1, len(ws) - 3)) AS i
+                      FROM bench_n WHERE len(ws) >= 5)
+            ),
+            totals AS (
+                SELECT bench_id, count(*) AS n_item_ngrams FROM bg
+                GROUP BY bench_id
+            ),
+            dg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ws, CAST(i AS INT),
+                           CAST(i AS INT) + 4), ' ') AS g
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws) - 3)) AS i
+                      FROM docs_n WHERE len(ws) >= 5)
+            ),
+            hits AS (
+                SELECT dg.doc_id, bg.bench_id, count(*) AS n_matched
+                FROM dg JOIN bg USING (g)
+                GROUP BY dg.doc_id, bg.bench_id
+            )
+            SELECT h.doc_id, h.bench_id,
+                   CAST(t.n_item_ngrams AS BIGINT) AS n_item_ngrams,
+                   CAST(h.n_matched AS BIGINT) AS n_matched,
+                   (h.n_matched * 1000000 >= t.n_item_ngrams * 600000)
+                       AS contaminated
+            FROM hits h JOIN totals t USING (bench_id)
+        """,
+        # the container round-trip must reproduce the source bytes
+        "wet_roundtrip": """
+            SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(text) AS text_md5
+            FROM documents
         """,
     }

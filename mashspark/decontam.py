@@ -89,3 +89,62 @@ def contamination_flags(docs: DataFrame, benchmark_docs: DataFrame,
         )
         .withColumn("contaminated", F.col("n_contaminated") > 0)
     )
+
+
+def fuzzy_contamination_pairs(
+    docs: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-ITEM fuzzy decontamination: -> (doc_id, bench_id,
+    n_item_ngrams, n_matched, contaminated) for every (doc, benchmark
+    item) pair sharing at least one n-gram; ``contaminated`` = the doc
+    covers >= ``threshold`` of the item's DISTINCT n-grams (the
+    containment C(item, doc) = |S(item) & S(doc)| / |S(item)| — the
+    same asymmetric-containment rule the screen operator applies to
+    sketches, here exact over short benchmark items).
+
+    Catches what the exact 13-gram rule misses: a benchmark answer
+    quoted with small edits still covers most of the item's shorter
+    n-grams. Lowering ``n`` loosens the match; the fraction threshold
+    replaces the any-hit rule.
+
+    Scale shape: both sides' n-gram sets are DISTINCT per document
+    (``array_distinct`` BEFORE the explode — map-only, so the join
+    never sees within-doc repeats); the benchmark side (items are
+    ~10^2 n-grams each, benchmarks ~10^6 total) broadcasts; the inner
+    join emits only actual hits, so the groupBy(doc, item) aggregates
+    O(hits), not O(corpus n-grams). The contamination test is an exact
+    integer cross-multiplication (no float boundary).
+    """
+    bench = benchmark_docs.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(
+            _ngram_hashes(F.col(text_col), n))).alias("ngram_hash"),
+    )
+    totals = bench.groupBy("bench_id").agg(
+        F.count("*").alias("n_item_ngrams"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            _ngram_hashes(F.col(text_col), n))).alias("ngram_hash"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "ngram_hash")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_matched"))
+        .join(F.broadcast(totals), "bench_id")
+    )
+    # integer cross-multiply: n_matched/total >= threshold without a
+    # float division at the decision boundary
+    scale = 1_000_000
+    thr = int(round(threshold * scale))
+    return hits.select(
+        "doc_id", "bench_id", "n_item_ngrams", "n_matched",
+        (F.col("n_matched") * scale >= F.col("n_item_ngrams") * thr)
+        .alias("contaminated"),
+    )
