@@ -12,6 +12,9 @@ Layering (SURVEY.md §7):
   ``screen`` (containment), ``pipeline`` (end-to-end dedup),
   ``io`` (checkpoint/resume manifest)
 * training-data extras: ``textstats`` ``simhash`` ``ann`` ``multimodal``
+  ``urls`` ``extract`` ``repetition`` ``decontam`` ``packing``
+  ``sampling`` ``pii`` ``lm`` ``backoff`` ``keywords`` ``classify``
+  ``bloom`` ``dsir`` ``bpe`` ``normalize`` ``profile`` ``streaming``
 """
 
 from .params import SketchParams, LSHParams, PipelineConfig
