@@ -442,6 +442,23 @@ def cmd_member(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_ingest(spark: SparkSession, args) -> int:
+    """WET archive ingestion (beyond the reference; reference analog:
+    the FASTA/FASTQ scanners): Common-Crawl-shaped multi-record text
+    archives -> a documents parquet table (doc_id, url, date, text),
+    record-split inside the JVM text source."""
+    from .wet import read_wet
+
+    docs = read_wet(spark, args.input)
+    docs.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    n_url = out.select("url").distinct().count()
+    print(json.dumps({"n_records": n, "n_distinct_urls": n_url,
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
 def cmd_profile(spark: SparkSession, args) -> int:
     """Corpus composition report (the webtext `mash info`): global
     summary JSON to stderr + per-stratum profile parquet (exact
@@ -682,6 +699,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_member, min_copies=1)
+
+    p = sub.add_parser(
+        "ingest",
+        help="WET-style text archives -> documents parquet table")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input", help="directory of WET-style archive files")
+    p.set_defaults(fn=cmd_ingest, min_copies=1)
 
     p = sub.add_parser(
         "profile",

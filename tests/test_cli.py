@@ -359,3 +359,24 @@ def test_cli_member_bloom_store_reuse(spark, docs_parquet, tmp_path, capsys):
     # confirm mode without any ref source is a usage error
     assert cli.main(["member", "--bloom-store", store,
                      "-o", str(tmp_path / "m3.out"), docs_parquet]) == 2
+
+
+def test_cli_ingest_wet(spark, tmp_path, capsys):
+    """ingest: WET archive directory -> documents parquet with stable
+    xxhash64(url) ids, text round-tripped byte-exactly."""
+    from mashspark.webtext import webtext_spark_df
+    from mashspark.wet import write_wet
+
+    docs = webtext_spark_df(spark, n_base=10, seed=9).select("url", "text")
+    wet = str(tmp_path / "arch")
+    write_wet(docs, wet, num_files=2)
+    out = str(tmp_path / "ingested")
+    rc = cli.main(["ingest", "-o", out, wet])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    n = docs.count()
+    assert info["n_records"] == n and info["n_distinct_urls"] == n
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "url", "date", "text"}
+    joined = docs.alias("a").join(back.alias("b"), "url")
+    assert joined.filter("a.text <> b.text").count() == 0
