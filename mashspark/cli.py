@@ -349,14 +349,27 @@ def cmd_route(spark: SparkSession, args) -> int:
     score every input doc, split into --buckets perplexity tiers, and
     write the corpus partitioned by tier — downstream jobs read only
     the head partition(s). Bucket 0 = closest to the reference
-    register."""
+    register. --backoff N scores with the order-N Stupid Backoff model
+    instead of the plain n-gram likelihood (sharper register signal;
+    see backoff.py)."""
     from .lm import perplexity_buckets, score_documents, unigram_counts
 
     docs = load_docs(spark, args.input)
     ref = load_docs(spark, args.ref) if args.ref else docs
-    model = unigram_counts(ref, n=args.ngram)
-    scored = score_documents(docs, model, n=args.ngram,
-                             broadcast_counts=not args.no_broadcast)
+    if args.backoff:
+        from .backoff import ngram_models, stupid_backoff_scores
+
+        scored = stupid_backoff_scores(
+            docs, ngram_models(ref, args.backoff),
+            broadcast_counts=not args.no_broadcast,
+        ).select(
+            "doc_id", F.col("n_positions").alias("n_tokens"),
+            F.col("logscore_per_token").alias("logprob_per_token"),
+        )
+    else:
+        model = unigram_counts(ref, n=args.ngram)
+        scored = score_documents(docs, model, n=args.ngram,
+                                 broadcast_counts=not args.no_broadcast)
     routed = perplexity_buckets(scored, n_buckets=args.buckets)
     # left join back: a doc with zero tokens has no score row — route
     # it to the tail rather than dropping it
@@ -650,6 +663,9 @@ def build_parser() -> argparse.ArgumentParser:
                                  "(default: the input itself)")
     p.add_argument("-n", "--ngram", type=int, default=1)
     p.add_argument("-b", "--buckets", type=int, default=3)
+    p.add_argument("--backoff", type=int, default=None, metavar="ORDER",
+                   help="score with the order-N Stupid Backoff model "
+                        "instead of the plain n-gram likelihood")
     p.add_argument("--no-broadcast", action="store_true",
                    help="shuffle-join the model instead of broadcasting "
                         "(vocab larger than executor memory)")

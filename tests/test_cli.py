@@ -380,3 +380,19 @@ def test_cli_ingest_wet(spark, tmp_path, capsys):
     assert set(back.columns) == {"doc_id", "url", "date", "text"}
     joined = docs.alias("a").join(back.alias("b"), "url")
     assert joined.filter("a.text <> b.text").count() == 0
+
+
+def test_cli_route_backoff(spark, docs_parquet, tmp_path, capsys):
+    """route --backoff 2: Stupid-Backoff-scored tier routing — every
+    doc lands in exactly one of 3 tiers, partition layout intact."""
+    out = str(tmp_path / "routed_bo")
+    rc = cli.main(["route", "-b", "3", "--backoff", "2", "-o", out,
+                   docs_parquet])
+    assert rc == 0
+    sizes = json.loads(
+        capsys.readouterr().err.strip().splitlines()[-1])["bucket_sizes"]
+    routed = spark.read.parquet(out)
+    assert routed.count() == 12
+    assert sum(sizes.values()) == 12
+    assert sorted(d for d in os.listdir(out) if d.startswith("bucket=")) \
+        == [f"bucket={b}" for b in sorted(sizes)]
