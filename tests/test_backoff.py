@@ -132,3 +132,21 @@ def test_validates_order(spark, frames):
         ngram_models(train, 0)
     with pytest.raises(ValueError):
         stupid_backoff_scores(train, [])
+
+
+def test_plan_broadcast_joins_and_partial_rollup(spark, frames):
+    """Plan guard: all five count-table joins broadcast (vocabulary
+    tables must never sort-merge against the position relation) and the
+    per-doc rollup does map-side partial aggregation."""
+    import contextlib
+    import io
+
+    train, score = frames
+    out = stupid_backoff_scores(score, ngram_models(train, 3))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "Partial" in plan, plan

@@ -139,3 +139,23 @@ def test_dsir_select_validates_args(spark, corpora):
         dsir_select(scored, 0)
     with pytest.raises(ValueError):
         dsir_select(scored, 5, mode="bogus")
+
+
+def test_threshold_selection_plan_is_sort_free(spark, corpora):
+    """Plan guard: threshold-mode selection must be a literal filter
+    over the scoring aggregate — no Window, no global Sort, no extra
+    Exchange beyond the score rollup's own."""
+    import contextlib
+    import io
+
+    tgt, src, cand = _split(corpora)
+    scored = ratio_scores(cand, unigram_counts(tgt), unigram_counts(src))
+    out = dsir_select(scored, 10, exact=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "TakeOrdered" not in plan and "Sort " not in plan, plan
+    # model joins broadcast; the scoring rollup is the only hash exchange
+    assert "SortMergeJoin" not in plan, plan
