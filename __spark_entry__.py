@@ -1201,6 +1201,21 @@ def _q_wet_roundtrip(spark, sf_dir):
         "url", F.md5(F.col("text")).alias("text_md5"))
 
 
+def _q_dsir_hashed_scores(spark, sf_dir):
+    """Hashed-feature DSIR (dsir.hashed_ratio_scores, dim=1024,
+    unigrams+bigrams): the paper's fixed-dimension model — same split
+    as dsir_ratio_scores, exact integer masses as the contract."""
+    from mashspark.dsir import hashed_ngram_counts, hashed_ratio_scores
+
+    docs = _docs(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = hashed_ngram_counts(even.filter(F.col("lang") == "en"), 1024, 2)
+    src = hashed_ngram_counts(even.filter(F.col("lang") != "en"), 1024, 2)
+    return hashed_ratio_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), tgt, src, dim=1024, n_max=2
+    ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1271,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backoff_hit_orders": _q_backoff_hit_orders,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
         "wet_roundtrip": _q_wet_roundtrip,
+        "dsir_hashed_scores": _q_dsir_hashed_scores,
     }
 
 
@@ -2585,6 +2601,52 @@ def oracle_sql() -> dict[str, str]:
                    (h.n_matched * 1000000 >= t.n_item_ngrams * 600000)
                        AS contaminated
             FROM hits h JOIN totals t USING (bench_id)
+        """,
+        # md5-prefix buckets over unigrams+bigrams, dim=1024; same
+        # even/odd split as dsir_ratio_scores
+        "dsir_hashed_scores": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM (
+                    SELECT doc_id, lang, unnest(ws) AS g FROM toks
+                    UNION ALL
+                    SELECT doc_id, lang,
+                           ws[CAST(i AS INT)] || ' ' ||
+                           ws[CAST(i AS INT)+1] AS g
+                    FROM (SELECT doc_id, lang, ws,
+                                 unnest(range(1, len(ws))) AS i FROM toks)
+                )
+            ),
+            mt AS (
+                SELECT bucket, count(*) AS cnt_t FROM feats
+                WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY bucket
+            ),
+            ms AS (
+                SELECT bucket, count(*) AS cnt_s FROM feats
+                WHERE doc_id % 2 = 0 AND lang <> 'en' GROUP BY bucket
+            ),
+            per AS (
+                SELECT doc_id, bucket, count(*) AS occ FROM feats
+                WHERE doc_id % 2 = 1 GROUP BY doc_id, bucket
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.occ) AS BIGINT) AS n_tokens,
+                   CAST(sum(COALESCE(mt.cnt_t, 0) * p.occ) AS BIGINT)
+                       AS sum_count_target,
+                   CAST(sum(COALESCE(ms.cnt_s, 0) * p.occ) AS BIGINT)
+                       AS sum_count_source
+            FROM per p
+            LEFT JOIN mt USING (bucket)
+            LEFT JOIN ms USING (bucket)
+            GROUP BY p.doc_id
         """,
         # the container round-trip must reproduce the source bytes
         "wet_roundtrip": """

@@ -107,6 +107,92 @@ def ratio_scores(
     )
 
 
+def hashed_bucket(token_col: Column, dim: int) -> Column:
+    """md5-prefix bucket in [0, dim) — the paper's hashed n-gram
+    feature map, on the repo's engine-portable md5 convention (DuckDB
+    computes the identical bucket, so hashed scores stay
+    oracle-checkable)."""
+    h = F.conv(F.substring(F.md5(token_col), 1, 8), 16, 10).cast("long")
+    return h % F.lit(int(dim)).cast("long")
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    dim: int = 10_000,
+    n_max: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, count) over unigrams..n_max-grams hashed into ``dim``
+    buckets — DSIR's actual feature model: FIXED memory regardless of
+    vocabulary (10^4 longs, trivially broadcastable), trained with one
+    map-side-partial groupBy per order."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    parts = []
+    for k in range(1, n_max + 1):
+        toks = _tokens(docs.select(text_col), text_col, k)
+        parts.append(toks.select(
+            hashed_bucket(F.col("token"), dim).alias("bucket")))
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    return allb.groupBy("bucket").agg(F.count("*").alias("count"))
+
+
+def hashed_ratio_scores(
+    docs: DataFrame,
+    target_counts: DataFrame,
+    source_counts: DataFrame,
+    dim: int = 10_000,
+    n_max: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ratio_scores over the hashed feature space: same output columns,
+    but the models are dim-sized bucket tables from
+    ``hashed_ngram_counts`` (always broadcastable — the 10^12-doc
+    model-size-independent path). Add-one smoothing runs over the dim
+    buckets instead of the open vocabulary."""
+    tgt = F.broadcast(target_counts.select(
+        "bucket", F.col("count").alias("cnt_t")))
+    src = F.broadcast(source_counts.select(
+        "bucket", F.col("count").alias("cnt_s")))
+    nt = int(target_counts.agg(F.sum("count")).collect()[0][0] or 0)
+    ns = int(source_counts.agg(F.sum("count")).collect()[0][0] or 0)
+    denom_t = float(max(nt + dim, 1))
+    denom_s = float(max(ns + dim, 1))
+    parts = []
+    for k in range(1, n_max + 1):
+        toks = _tokens(docs.select(id_col, text_col), text_col, k)
+        parts.append(toks.select(
+            id_col, hashed_bucket(F.col("token"), dim).alias("bucket")))
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    per = (
+        allb.groupBy(id_col, "bucket").agg(F.count("*").alias("occ"))
+        .join(tgt, "bucket", "left")
+        .join(src, "bucket", "left")
+    )
+    lr = (
+        F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1) / denom_t)
+        - F.log((F.coalesce(F.col("cnt_s"), F.lit(0)) + 1) / denom_s)
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("cnt_t"), F.lit(0)) * F.col("occ"))
+            .alias("sum_count_target"),
+            F.sum(F.coalesce(F.col("cnt_s"), F.lit(0)) * F.col("occ"))
+            .alias("sum_count_source"),
+            F.sum(lr * F.col("occ")).alias("logratio"),
+            (F.sum(lr * F.col("occ")) / F.sum("occ"))
+            .alias("logratio_per_token"),
+        )
+    )
+
+
 def gumbel_key(score_col: Column, id_col: Column,
                salt: str = "dsir:42") -> Column:
     """score + Gumbel(0,1) noise derived from the stable md5 uniform:

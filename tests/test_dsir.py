@@ -159,3 +159,58 @@ def test_threshold_selection_plan_is_sort_free(spark, corpora):
     assert "TakeOrdered" not in plan and "Sort " not in plan, plan
     # model joins broadcast; the scoring rollup is the only hash exchange
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hashed_ratio_scores_match_bruteforce(spark, corpora):
+    """Hashed-feature DSIR (the paper's fixed-dim model) vs a python
+    brute force over the same md5 buckets."""
+    import hashlib
+
+    from mashspark.dsir import hashed_ngram_counts, hashed_ratio_scores
+
+    dim, n_max = 512, 2
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    def feats(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        out = [bucket(w) for w in ws]
+        out += [bucket(f"{a} {b}") for a, b in zip(ws, ws[1:])]
+        return out
+
+    tgt, src, cand = _split(corpora)
+    got = {r.doc_id: r for r in hashed_ratio_scores(
+        cand, hashed_ngram_counts(tgt, dim, n_max),
+        hashed_ngram_counts(src, dim, n_max), dim=dim, n_max=n_max
+    ).collect()}
+
+    rows = {role: [(x.doc_id, x.text) for x in corpora.filter(
+        F.col("role").rlike(role)).select("doc_id", "text").collect()]
+        for role in ["target_train", "source_train", "^cand"]}
+    ct, cs = Counter(), Counter()
+    for _, t in rows["target_train"]:
+        ct.update(feats(t))
+    for _, t in rows["source_train"]:
+        cs.update(feats(t))
+    dt = max(sum(ct.values()) + dim, 1)
+    ds = max(sum(cs.values()) + dim, 1)
+    assert len(got) == len(rows["^cand"])
+    for i, t in rows["^cand"]:
+        fs = feats(t)
+        r = got[i]
+        assert r.n_tokens == len(fs)
+        assert r.sum_count_target == sum(ct.get(b, 0) for b in fs)
+        assert r.sum_count_source == sum(cs.get(b, 0) for b in fs)
+        lr = sum(math.log((ct.get(b, 0) + 1) / dt)
+                 - math.log((cs.get(b, 0) + 1) / ds) for b in fs)
+        assert r.logratio == pytest.approx(lr, rel=1e-9)
+
+
+def test_hashed_model_is_dim_bounded(spark, corpora):
+    from mashspark.dsir import hashed_ngram_counts
+
+    tgt, _, _ = _split(corpora)
+    m = hashed_ngram_counts(tgt, dim=64, n_max=2)
+    assert m.count() <= 64
+    assert m.filter("bucket < 0 OR bucket >= 64").count() == 0
