@@ -2468,7 +2468,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source, md5(text) AS fp,
                        CAST(length(text) AS BIGINT) AS chars,
                        CAST(len(list_filter(
-                           string_split_regex(text, '\s+'),
+                           string_split(text, ' '),
                            x -> x <> '')) AS BIGINT) AS toks
                 FROM documents
             ),

@@ -83,7 +83,16 @@ class BloomFilter:
 
     @property
     def n_set_bits(self) -> int:
-        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+        # byte-LUT popcount: O(bitmap) extra memory in one uint8 pass —
+        # np.unpackbits would allocate 8 bytes per bit (8 GiB for the
+        # documented 2^33-bit production filter)
+        lut = np.array([bin(i).count("1") for i in range(256)],
+                       dtype=np.uint8)
+        total = 0
+        bv = self.words.view(np.uint8)
+        for i in range(0, bv.size, 1 << 24):
+            total += int(lut[bv[i:i + (1 << 24)]].sum(dtype=np.int64))
+        return total
 
     @property
     def est_fpp(self) -> float:
@@ -116,11 +125,11 @@ def build_bloom(fps: DataFrame, fp_col: str, m_bits: int, k: int) -> BloomFilter
         )
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
-        .collect()
+        .toPandas()  # Arrow path: no per-word Row objects on the driver
     )
     dense = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
-    for row in words:
-        dense[row["word_idx"]] = np.uint64(np.int64(row["word"]))
+    dense[words["word_idx"].to_numpy(dtype=np.int64)] = (
+        words["word"].to_numpy(dtype=np.int64).view(np.uint64))
     return BloomFilter(m_bits=m_bits, k=k, words=dense)
 
 
@@ -135,9 +144,14 @@ def bloom_probe_udf(df: DataFrame, bloom: BloomFilter):
     @pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         bm = bc.value
-        a = h1.to_numpy(dtype=np.uint64)
-        step = h2.to_numpy(dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-        hit = np.ones(len(a), dtype=bool)
+        # null fingerprints (md5(null) -> null h1/h2 -> NaN here) are
+        # certain misses — semi-join semantics, and NaN->uint64 casts
+        # are undefined
+        valid = h1.notna().to_numpy() & h2.notna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.uint64)
+        step = (h2.fillna(0).to_numpy(dtype=np.uint64) * np.uint64(2)
+                + np.uint64(1))
+        hit = valid.copy()
         for i in range(k):
             pos = (a + np.uint64(i) * step) % m
             word = bm[(pos >> np.uint64(6)).astype(np.int64)]
@@ -147,10 +161,14 @@ def bloom_probe_udf(df: DataFrame, bloom: BloomFilter):
     return probe
 
 
-def save_bloom(spark, bloom: BloomFilter, path: str) -> None:
+def save_bloom(spark, bloom: BloomFilter, path: str,
+               n_items: int | None = None,
+               fpp: float | None = None) -> None:
     """Persist a built filter: sparse nonzero words as parquet +
     a one-row params table. Both go through Spark writers so the store
-    lands on whatever filesystem the cluster uses (HDFS/S3/local)."""
+    lands on whatever filesystem the cluster uses (HDFS/S3/local).
+    ``n_items``/``fpp`` record what the filter was built from so a
+    later run can detect a stale store (see cmd_member)."""
     import os
 
     nz = np.nonzero(bloom.words)[0]
@@ -158,21 +176,32 @@ def save_bloom(spark, bloom: BloomFilter, path: str) -> None:
     spark.createDataFrame(rows or [(int(0), int(0))],
                           "word_idx long, word long") \
         .write.mode("overwrite").parquet(os.path.join(path, "words"))
-    spark.createDataFrame([(bloom.m_bits, bloom.k, len(rows))],
-                          "m_bits long, k long, n_words long") \
-        .coalesce(1).write.mode("overwrite").json(
-            os.path.join(path, "params"))
+    spark.createDataFrame(
+        [(bloom.m_bits, bloom.k, len(rows),
+          int(n_items) if n_items is not None else None,
+          float(fpp) if fpp is not None else None)],
+        "m_bits long, k long, n_words long, n_items long, fpp double",
+    ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "params"))
 
 
 def load_bloom(spark, path: str) -> BloomFilter:
     """Load a filter written by save_bloom."""
+    bloom, _ = load_bloom_with_meta(spark, path)
+    return bloom
+
+
+def load_bloom_with_meta(spark, path: str) -> tuple[BloomFilter, dict]:
+    """(filter, params-dict) — the meta carries n_items/fpp when the
+    writer recorded them (staleness checks)."""
     import os
 
-    p = spark.read.json(os.path.join(path, "params")).collect()[0]
-    dense = np.zeros((int(p.m_bits) + 63) // 64, dtype=np.uint64)
-    for row in spark.read.parquet(os.path.join(path, "words")).collect():
-        dense[row.word_idx] = np.uint64(np.int64(row.word))
-    return BloomFilter(m_bits=int(p.m_bits), k=int(p.k), words=dense)
+    p = spark.read.json(os.path.join(path, "params")).collect()[0].asDict()
+    dense = np.zeros((int(p["m_bits"]) + 63) // 64, dtype=np.uint64)
+    words = spark.read.parquet(os.path.join(path, "words")).toPandas()
+    dense[words["word_idx"].to_numpy(dtype=np.int64)] = (
+        words["word"].to_numpy(dtype=np.int64).view(np.uint64))
+    return BloomFilter(m_bits=int(p["m_bits"]), k=int(p["k"]),
+                       words=dense), p
 
 
 def membership_flags(

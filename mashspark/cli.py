@@ -422,26 +422,41 @@ def cmd_member(spark: SparkSession, args) -> int:
     ~--fpp false positives, never false negatives). --bloom-store
     persists the built filter; a later run loads it instead of
     rebuilding, and with --no-confirm needs no --ref at all."""
-    import os as _os
-
-    from .bloom import (build_bloom, bloom_size, load_bloom,
+    from .bloom import (bloom_size, build_bloom, load_bloom_with_meta,
                         membership_flags, save_bloom)
 
-    bloom = None
-    store_has = args.bloom_store and _os.path.isdir(
-        _os.path.join(args.bloom_store, "params"))
-    if store_has:
-        bloom = load_bloom(spark, args.bloom_store)
+    bloom = meta = None
+    if args.bloom_store:
+        # probe by attempting the load (os.path checks would wrongly
+        # say "missing" for hdfs://... paths Spark writers can reach)
+        try:
+            bloom, meta = load_bloom_with_meta(spark, args.bloom_store)
+        except Exception:
+            bloom = meta = None
     if not args.ref and not (bloom is not None and args.no_confirm):
         print("member: need --ref (or an existing --bloom-store "
               "with --no-confirm)", file=sys.stderr)
         return 2
     ref = load_docs(spark, args.ref) if args.ref else None
-    if bloom is None and args.bloom_store:
+    if ref is not None and args.bloom_store:
+        # staleness check: a store built from a different reference
+        # would silently miss members (Bloom false negatives are
+        # impossible only against the corpus it was built from)
         ref_fps = ref.select(F.col(args.column).alias("_fp")).distinct()
-        m_bits, k = bloom_size(ref_fps.count(), args.fpp)
-        bloom = build_bloom(ref_fps, "_fp", m_bits, k)
-        save_bloom(spark, bloom, args.bloom_store)
+        n_ref = ref_fps.count()
+        stale = (bloom is None or meta is None
+                 or meta.get("n_items") != n_ref
+                 or meta.get("fpp") != args.fpp)
+        if stale:
+            if bloom is not None:
+                print(f"member: bloom store is stale (built from "
+                      f"{meta.get('n_items')} items at fpp="
+                      f"{meta.get('fpp')}, reference now has {n_ref}); "
+                      f"rebuilding", file=sys.stderr)
+            m_bits, k = bloom_size(n_ref, args.fpp)
+            bloom = build_bloom(ref_fps, "_fp", m_bits, k)
+            save_bloom(spark, bloom, args.bloom_store,
+                       n_items=n_ref, fpp=args.fpp)
     flags = membership_flags(
         load_docs(spark, args.input), ref,
         fp_col=args.column, fpp=args.fpp, confirm=not args.no_confirm,

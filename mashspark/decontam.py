@@ -121,6 +121,16 @@ def fuzzy_contamination_pairs(
     O(hits), not O(corpus n-grams). The contamination test is an exact
     integer cross-multiplication (no float boundary).
     """
+    # an item shorter than n words has NO n-grams and would silently
+    # vanish from the output — the one failure mode this operator must
+    # not have (a verbatim quote of it would go unflagged). Loud error;
+    # the benchmark side is small, so the check is one cheap count.
+    n_short = benchmark_docs.filter(
+        F.size(_ngram_hashes(F.col(text_col), n)) == 0).count()
+    if n_short:
+        raise ValueError(
+            f"{n_short} benchmark item(s) have fewer than n={n} words "
+            f"and would be silently uncheckable; lower n")
     bench = benchmark_docs.select(
         F.col(bench_id_col).alias("bench_id"),
         F.explode(F.array_distinct(

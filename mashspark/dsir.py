@@ -227,12 +227,31 @@ def dsir_select(
         return out.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(n_select)
     if mode != "threshold":
         raise ValueError(f"unknown mode {mode!r}")
-    total = scored.count()
-    if n_select >= total:
+    # ONE pass computes both the size and every candidate cutoff (the
+    # scoring DAG upstream is expensive; a separate count() would
+    # recompute it). The exact (1 - k/N) quantile needs N first, so
+    # pre-compute cutoffs on a grid of selectivities and pick the
+    # tightest one >= the requested k — percentile state is shared
+    # across all grid points in the same aggregate.
+    col = F.col("gumbel_key")
+    grid = [i / 1000 for i in range(1, 1000)]
+    agg = (F.percentile(col, F.lit(grid)) if exact
+           else F.percentile_approx(col, F.lit(grid), F.lit(accuracy)))
+    row = out.agg(F.count("*").alias("n"), agg.alias("cuts")).collect()[0]
+    total = int(row["n"])
+    if n_select >= total or row["cuts"] is None:
         return out
     q = 1.0 - n_select / total
-    col = F.col("gumbel_key")
-    agg = (F.percentile(col, F.lit(q)) if exact
-           else F.percentile_approx(col, F.lit(q), F.lit(accuracy)))
-    cutoff = out.agg(agg.alias("c")).collect()[0]["c"]
+    if q <= grid[0]:
+        # requested keep-fraction finer than the grid: keep everything
+        # rather than under-keep
+        return out
+    # grid[j] is the q_j = (j+1)/1000 quantile; take the largest grid
+    # point <= q (keeps AT LEAST n_select, never fewer)
+    j = min(max(int(q * 1000) - 1, 0), len(grid) - 1)
+    while j > 0 and grid[j] > q:
+        j -= 1
+    cutoff = row["cuts"][j]
+    if cutoff is None:
+        return out
     return out.filter(col >= F.lit(float(cutoff)))

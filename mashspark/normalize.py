@@ -58,11 +58,24 @@ def canonical_dup_groups(
     Shape: groupBy(fp).min + equi-join back — map-side partials collapse
     mega-groups before the exchange, and the join back is AQE-skew
     splittable; only (doc_id, 16 B fp) ever shuffles.
+
+    Docs whose canonical form is EMPTY (null text, or no [a-z0-9]
+    content at all — e.g. non-Latin-script pages, which this ASCII
+    recipe cannot canonicalize) are NOT collapsed together: an empty
+    normal form carries no identity evidence, so they stay singletons —
+    the same rule exact_collapse applies to empty sketches. Extend the
+    character class before using this on non-Latin corpora.
     """
-    fp = canonical_fingerprint(F.col(text_col), mask_digits)
-    keyed = docs.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
-    reps = keyed.groupBy("_fp").agg(F.min("doc_id").alias("rep_id"))
-    return keyed.join(reps, "_fp").select("doc_id", "rep_id")
+    canon = F.coalesce(canonical_text(F.col(text_col), mask_digits),
+                       F.lit(""))
+    keyed = docs.select(F.col(id_col).alias("doc_id"), canon.alias("_c"))
+    nonempty = keyed.filter(F.length("_c") > 0).select(
+        "doc_id", F.md5("_c").alias("_fp"))
+    reps = nonempty.groupBy("_fp").agg(F.min("doc_id").alias("rep_id"))
+    members = nonempty.join(reps, "_fp").select("doc_id", "rep_id")
+    empty = keyed.filter(F.length("_c") == 0).select(
+        "doc_id", F.col("doc_id").alias("rep_id"))
+    return members.unionByName(empty)
 
 
 def canonical_dedup(

@@ -28,8 +28,12 @@ from pyspark.sql import functions as F
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count (the same definition lm.py trains on)."""
-    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != "")) \
+    """Token count under the SAME definition lm.py trains on (split on
+    single spaces, drop empties) — profile-reported token masses must
+    agree with what the LM/backoff/DSIR models actually consume, or
+    every decision sized from the profile is computed against a
+    different tokenization."""
+    return F.size(F.filter(F.split(col, " "), lambda x: x != "")) \
         .cast("long")
 
 

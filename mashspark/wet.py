@@ -53,10 +53,11 @@ def read_wet(spark: SparkSession, path: str,
     rec = spark.read.option("lineSep", _BANNER).text(path)
     url = F.regexp_extract("value", r"WARC-Target-URI:\s*(\S+)", 1)
     date = F.regexp_extract("value", r"WARC-Date:\s*(\S+)", 1)
-    # body = everything after the first blank line; strip the trailing
-    # record separator blank lines
+    # body = everything after the first blank line, minus exactly the
+    # ONE newline the record framing appends — a body that itself ends
+    # with newlines keeps them (round-trip exactness)
     body = F.regexp_replace(
-        F.regexp_extract("value", r"(?s)\n\n(.*)$", 1), r"\n+$", "")
+        F.regexp_extract("value", r"(?s)\n\n(.*)$", 1), r"\n$", "")
     out = (
         rec.select(url.alias("url"), date.alias("date"),
                    body.alias("text"))
@@ -73,7 +74,18 @@ def write_wet(docs: DataFrame, path: str, url_col: str = "url",
               num_files: int = 1) -> None:
     """Serialize (url, text) rows into the WET subset above — the
     deterministic fixture/round-trip writer. The record is assembled as
-    one string column and written through the JVM text sink."""
+    one string column and written through the JVM text sink.
+
+    Raises if any text contains the record banner itself: separator-
+    based splitting (like real WET tooling that scans for the banner)
+    cannot represent such a body, and a silent mangled round-trip is
+    worse than a loud refusal."""
+    n_bad = docs.filter(F.col(text_col).contains(_BANNER)).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} document(s) contain the record banner "
+            f"{_BANNER!r} in {text_col!r}; this container cannot "
+            f"represent them")
     rec = F.concat(
         F.lit("WARC-Type: conversion\nWARC-Target-URI: "),
         F.col(url_col),
