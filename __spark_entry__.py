@@ -1122,13 +1122,11 @@ def _q_bpe_encoded_lengths(spark, sf_dir):
         "doc_id", "n_bpe_tokens")
 
 
-def _q_canonical_dup_groups(spark, sf_dir):
-    """Canonical-text dedup (normalize.canonical_dup_groups): fixture
-    seeded with case-perturbed and whitespace/punctuation-perturbed
-    copies (identically in the DuckDB oracle); canonical grouping must
-    map every copy back to its original while byte-exact dedup cannot."""
-    from mashspark.normalize import canonical_dup_groups
-
+def _canon_seeded(spark, sf_dir):
+    """Fixture docs + case-perturbed and whitespace/punctuation-perturbed
+    copies (the identical construction lives in the DuckDB oracles):
+    canonical grouping must map every copy back to its original while
+    byte-exact dedup cannot."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     upper = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -1137,8 +1135,47 @@ def _q_canonical_dup_groups(spark, sf_dir):
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "),
                  F.lit(" !! ")).alias("text"))
-    seeded = d.unionByName(upper).unionByName(spaced)
-    return canonical_dup_groups(seeded)
+    return d.unionByName(upper).unionByName(spaced)
+
+
+def _q_canonical_dup_groups(spark, sf_dir):
+    """Canonical-text dedup (normalize.canonical_dup_groups) over the
+    seeded fixture."""
+    from mashspark.normalize import canonical_dup_groups
+
+    return canonical_dup_groups(_canon_seeded(spark, sf_dir))
+
+
+# global token budget for the budget-selection contract query (fixture
+# total at sf0.01 is ~27k whitespace tokens, so this keeps ~44%)
+_BUDGET_TOKENS = 12_000
+
+
+def _q_budget_selection(spark, sf_dir):
+    """Token-budget corpus selection (budget.select_within_budget): the
+    longest prefix of docs in (char-length score DESC, doc_id) order
+    whose running whitespace-token total fits the budget — a two-level
+    distributed prefix sum, never a global sort; the oracle is the
+    equivalent SQL window cumsum."""
+    from mashspark.budget import select_within_budget
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("score"), "text")
+    return select_within_budget(d, _BUDGET_TOKENS, score_col="score")
+
+
+def _q_leakage_split_assign(spark, sf_dir):
+    """Leakage-safe split (sampling.leakage_safe_split over
+    normalize.canonical_dup_groups): the split hashes the duplicate-
+    group REPRESENTATIVE, so near-copies of one page can never straddle
+    train/test; the seeded fixture plants such copies."""
+    from mashspark.normalize import canonical_dup_groups
+    from mashspark.sampling import leakage_safe_split
+
+    seeded = _canon_seeded(spark, sf_dir)
+    groups = canonical_dup_groups(seeded)
+    return leakage_safe_split(seeded, groups, _SPLIT_FRACS,
+                              salt="split:42").select("doc_id", "split")
 
 
 def _q_corpus_profile(spark, sf_dir):
@@ -1287,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
         "wet_roundtrip": _q_wet_roundtrip,
         "dsir_hashed_scores": _q_dsir_hashed_scores,
+        "budget_selection": _q_budget_selection,
+        "leakage_split_assign": _q_leakage_split_assign,
     }
 
 
@@ -2653,5 +2692,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        # greedy prefix under a global token budget == SQL window cumsum
+        # in (score DESC, doc_id) order
+        "budget_selection": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, score, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, score, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+        """,
+        # same seeded perturbations + canonical grouping as
+        # canonical_dup_groups; the split hashes the group REP id
+        "leakage_split_assign": f"""
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id,
+                       '  ' || replace(text, ' ', '   ') || ' !! ' AS text
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            canon AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9]+', ' ', 'g'),
+                           '[0-9]', '0', 'g'))) AS fp
+                FROM seeded
+            ),
+            grp AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep_id
+                FROM canon
+            ),
+            u AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('split:42:' ||
+                           CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+                FROM grp
+            )
+            SELECT doc_id, CASE {_split_case_sql()} END AS split FROM u
         """,
     }

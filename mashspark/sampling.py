@@ -186,6 +186,51 @@ def mixture_plan(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    rep_col: str = "rep_id",
+    salt: str = "split:42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that can never leak a duplicate across
+    splits: assignment hashes the duplicate-GROUP representative, not
+    the document, so every member of a group lands in the same split.
+
+    A per-doc hash split over a deduplicated-but-not-collapsed corpus
+    (or one deduplicated with any recall < 1) puts near-copies of the
+    same page in train AND test — the classic benchmark-contamination
+    failure. Feeding this the (doc_id, rep_id) relation from
+    ``normalize.canonical_dup_groups`` (or LSH cluster ids from
+    ``pipeline.dedup_pipeline``) closes that hole by construction.
+
+    ``groups`` maps ``id_col`` -> ``rep_col``; docs absent from
+    ``groups`` are their own singleton group (rep = own id), so a
+    partial grouping degrades gracefully to the per-doc split rather
+    than dropping rows. Shape: the split itself is the same map-only
+    CASE WHEN as ``split_assign`` evaluated on the rep; the only
+    shuffle is one equi-join of (doc_id, rep_id) onto the corpus —
+    8 B keys, AQE-skew splittable, broadcastable when the grouping
+    covers only a small dup subset.
+    """
+    assigned = split_assign(
+        groups.select(F.col(id_col), F.col(rep_col)),
+        fractions, id_col=rep_col, salt=salt, out_col="_grp_split",
+    ).select(id_col, "_grp_split")
+    # singleton fallback is a pure column expr (split of the own id) —
+    # costs nothing, keeps the plan at exactly one join
+    own = split_assign(df, fractions, id_col=id_col, salt=salt,
+                       out_col="_own_split")
+    return (
+        own.join(assigned, id_col, "left")
+        .withColumn(out_col,
+                    F.coalesce(F.col("_grp_split"), F.col("_own_split")))
+        .drop("_grp_split", "_own_split")
+    )
+
+
 def epoch_shuffle_key(id_col: Column, epoch: int, salt: str = "epoch") -> Column:
     """Stable per-epoch shuffle key: changing ``epoch`` produces an
     independent permutation, same epoch always replays the same order."""
