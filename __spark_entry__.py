@@ -794,6 +794,21 @@ def _q_url_dup_groups(spark, sf_dir):
     return url_dup_groups(_urls_for_docs(spark, sf_dir))
 
 
+def _q_latest_url_snapshots(spark, sf_dir):
+    """Re-crawl collapse (urls.latest_snapshot): keep the newest fetch
+    per canonical URL, ties to the largest doc_id. crawl_ts is built so
+    every URL family exercises BOTH rules: parity splits timestamps
+    (ts-decided winners) and same-parity variants tie (id-decided)."""
+    from mashspark.urls import latest_snapshot
+
+    d = _urls_for_docs(spark, sf_dir).withColumn(
+        "crawl_ts",
+        ((F.col("doc_id") % 2) * 50000
+         + F.floor(F.col("doc_id") / 5)).cast("long"))
+    return latest_snapshot(d, ts_col="crawl_ts").select(
+        "doc_id", "url", "crawl_ts")
+
+
 def _q_extract_roundtrip(spark, sf_dir):
     """html→text extraction (mashspark.extract): wrap each fixture text in
     deterministic markup (tags + a script block + an entity), extract, and
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_hashed_scores": _q_dsir_hashed_scores,
         "budget_selection": _q_budget_selection,
         "leakage_split_assign": _q_leakage_split_assign,
+        "latest_url_snapshots": _q_latest_url_snapshots,
     }
 
 
@@ -1370,6 +1386,53 @@ _LANG_ID_SQL = f"""
                 WHEN score_de = greatest(score_en, score_de, score_fr) THEN 'de'
                 ELSE 'fr' END AS lang_pred
     FROM s
+"""
+
+
+# shared CTE block: the synthetic per-doc URLs (_urls_for_docs mirrored
+# verbatim) + DuckDB's independent reimplementation of
+# urls.normalized_url — used by every URL-operator oracle
+_URL_NORM_CTES_SQL = r"""
+            urls AS (
+                SELECT doc_id,
+                    CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+                      WHEN 1 THEN 'https://www.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#sec2'
+                      WHEN 2 THEN 'https://example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+                      WHEN 3 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+                      ELSE 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+                    END AS url
+                FROM documents
+            ),
+            defrag AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+            ),
+            parts AS (
+                SELECT doc_id,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+                    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                    regexp_extract(u, '\?([^#]*)', 1) AS q
+                FROM defrag
+            ),
+            norm AS (
+                SELECT doc_id,
+                    scheme || '://' ||
+                    (CASE scheme
+                       WHEN 'http' THEN regexp_replace(host0, ':80$', '')
+                       WHEN 'https' THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END) ||
+                    path ||
+                    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS norm_url
+                FROM (
+                    -- COALESCE: DuckDB's array_to_string([]) is NULL
+                    SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+                    )), '&'), '') AS qn
+                    FROM parts
+                )
+            )
 """
 
 
@@ -2143,47 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         # canonicalization (fragment strip, scheme/host lowercase, www
         # strip, default-port strip, trailing-slash strip, tracking-param
         # drop + param sort) over the same synthesized URL variants
-        "url_dup_groups": r"""
-            WITH urls AS (
-                SELECT doc_id,
-                    CASE CAST(doc_id % 5 AS INT)
-                      WHEN 0 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
-                      WHEN 1 THEN 'https://www.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#sec2'
-                      WHEN 2 THEN 'https://example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-                      WHEN 3 THEN 'https://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
-                      ELSE 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
-                    END AS url
-                FROM documents
-            ),
-            defrag AS (
-                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
-            ),
-            parts AS (
-                SELECT doc_id,
-                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
-                    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-                    regexp_extract(u, '\?([^#]*)', 1) AS q
-                FROM defrag
-            ),
-            norm AS (
-                SELECT doc_id,
-                    scheme || '://' ||
-                    (CASE scheme
-                       WHEN 'http' THEN regexp_replace(host0, ':80$', '')
-                       WHEN 'https' THEN regexp_replace(host0, ':443$', '')
-                       ELSE host0 END) ||
-                    path ||
-                    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS norm_url
-                FROM (
-                    -- COALESCE: DuckDB's array_to_string([]) is NULL
-                    SELECT *, COALESCE(array_to_string(list_sort(list_filter(
-                        string_split(q, '&'),
-                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
-                    )), '&'), '') AS qn
-                    FROM parts
-                )
-            )
+        "url_dup_groups": "WITH" + _URL_NORM_CTES_SQL + """
             SELECT norm_url, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM norm GROUP BY norm_url HAVING count(*) > 1
         """,
@@ -2744,5 +2767,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM grp
             )
             SELECT doc_id, CASE {_split_case_sql()} END AS split FROM u
+        """,
+        # newest fetch per canonical URL: same norm CTEs, argmax as a
+        # row_number over (ts DESC, id DESC)
+        "latest_url_snapshots": "WITH" + _URL_NORM_CTES_SQL + """,
+            t AS (
+                SELECT doc_id,
+                       CAST((doc_id % 2) * 50000 + doc_id // 5 AS BIGINT)
+                           AS crawl_ts
+                FROM documents
+            )
+            SELECT doc_id, url, crawl_ts FROM (
+                SELECT n.doc_id AS doc_id, u.url AS url,
+                       t.crawl_ts AS crawl_ts,
+                       row_number() OVER (
+                           PARTITION BY n.norm_url
+                           ORDER BY t.crawl_ts DESC, n.doc_id DESC) AS rn
+                FROM norm n
+                JOIN urls u ON n.doc_id = u.doc_id
+                JOIN t ON n.doc_id = t.doc_id
+            ) WHERE rn = 1
         """,
     }

@@ -148,7 +148,46 @@ def url_dedup(df: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per canonical URL — the ingest
     pre-filter that runs before any content sketching. Rows with NULL
-    urls are kept as-is (no URL evidence, not duplicates)."""
+    urls are kept as-is (no URL evidence, not duplicates): they are
+    routed AROUND the grouping, because an equi-join key is
+    null-rejecting and a NULL group key would otherwise collapse every
+    url-less row into one arbitrary survivor."""
     normed = with_normalized_url(df, url_col)
-    reps = normed.groupBy("norm_url").agg(F.min(id_col).alias(id_col))
-    return normed.join(reps, ["norm_url", id_col], "left_semi").drop("norm_url")
+    withurl = normed.filter(F.col("norm_url").isNotNull())
+    nourl = normed.filter(F.col("norm_url").isNull()).drop("norm_url")
+    reps = withurl.groupBy("norm_url").agg(F.min(id_col).alias(id_col))
+    return withurl.join(
+        reps, ["norm_url", id_col], "left_semi",
+    ).drop("norm_url").unionByName(nourl)
+
+
+def latest_snapshot(df: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Re-crawl collapse: keep the NEWEST fetch of each canonical URL
+    (max ``ts_col``, ties broken to the largest ``id_col`` — a total
+    deterministic rule). The other standard ingest pre-filter beside
+    ``url_dedup``: a multi-snapshot Common-Crawl stack refreshes pages
+    across crawls, and training pipelines keep the freshest copy rather
+    than an arbitrary one.
+
+    Shape: argmax via ``max(struct(ts, id))`` — a plain aggregate with
+    map-side partials, so a URL refetched 10^6 times collapses inside
+    each map task before the (short-key + 16 B)/url exchange; never a
+    row_number window funnel over hot URLs. Rows with NULL urls carry
+    no revisit evidence and are kept as-is (routed around the grouping,
+    same rule as ``url_dedup``); a NULL ``ts_col`` sorts below every
+    real timestamp (struct max ordering), so a dated fetch always beats
+    an undated one.
+    """
+    normed = with_normalized_url(df, url_col)
+    withurl = normed.filter(F.col("norm_url").isNotNull())
+    nourl = normed.filter(F.col("norm_url").isNull()).drop("norm_url")
+    winners = (
+        withurl.groupBy("norm_url")
+        .agg(F.max(F.struct(F.col(ts_col), F.col(id_col))).alias("_w"))
+        .select("norm_url", F.col(f"_w.{id_col}").alias(id_col))
+    )
+    return withurl.join(
+        winners, ["norm_url", id_col], "left_semi",
+    ).drop("norm_url").unionByName(nourl)

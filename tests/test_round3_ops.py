@@ -1211,3 +1211,39 @@ def test_perplexity_buckets_assignment_is_map_only(spark):
         .queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Exchange" not in plan
+
+
+def test_latest_snapshot_recrawl_collapse(spark):
+    """urls.latest_snapshot: newest fetch per canonical URL survives,
+    timestamp ties break to the largest doc_id, NULL urls and NULL
+    timestamps follow the documented rules."""
+    from mashspark.urls import latest_snapshot
+
+    rows = [
+        # one canonical url, three fetches: doc 3 is newest
+        (1, "https://a.com/x", 10), (2, "https://www.a.com/x", 30),
+        (3, "https://a.com/x/", 40),
+        # timestamp tie: larger id (12) wins
+        (11, "https://a.com/y?utm_source=f", 7), (12, "https://www.a.com/y", 7),
+        # NULL ts loses to any dated fetch
+        (21, "https://a.com/z", None), (22, "https://a.com/z", 1),
+        # NULL urls: both kept as-is
+        (31, None, 5), (32, None, 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    kept = sorted(r.doc_id for r in
+                  latest_snapshot(df, ts_col="warc_ts").collect())
+    assert kept == [3, 12, 22, 31, 32]
+
+
+def test_url_dedup_keeps_null_urls(spark):
+    """Regression: a NULL norm_url must not be treated as one duplicate
+    group (the old equi-join silently DROPPED every url-less row)."""
+    from mashspark.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://a.com/x"),
+         (3, None), (4, None)],
+        "doc_id long, url string")
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [1, 3, 4]
