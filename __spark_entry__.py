@@ -809,6 +809,38 @@ def _q_latest_url_snapshots(spark, sf_dir):
         "doc_id", "url", "crawl_ts")
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Incremental re-crawl delta (urls.snapshot_diff): old = the whole
+    fixture, new = a synthetic next crawl where every doc_id%3==0 page
+    vanished, every %3==1 page changed (text + ' v2') and spawned one
+    new URL, and %3==2 pages are byte-identical (and must NOT appear
+    in the delta)."""
+    from mashspark.urls import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("https://ex.com/p/"), F.col("doc_id").cast("string"))
+    old = d.select("doc_id", url.alias("url"), "text")
+    keep = d.filter(F.col("doc_id") % 3 != 0)
+    new_same_urls = keep.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        url.alias("url"),
+        F.when(F.col("doc_id") % 3 == 1,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(F.lit("https://ex.com/new/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    diff = snapshot_diff(old, new_same_urls.unionByName(added))
+    # -1 sentinel for the absent side: the driver compare turns nullable
+    # longs into NaN (and NaN != NaN), so null ids can never hash-match
+    return diff.select(
+        "norm_url", "status",
+        F.coalesce(F.col("old_doc_id"), F.lit(-1)).alias("old_doc_id"),
+        F.coalesce(F.col("new_doc_id"), F.lit(-1)).alias("new_doc_id"))
+
+
 def _q_extract_roundtrip(spark, sf_dir):
     """html→text extraction (mashspark.extract): wrap each fixture text in
     deterministic markup (tags + a script block + an entity), extract, and
@@ -1342,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": _q_budget_selection,
         "leakage_split_assign": _q_leakage_split_assign,
         "latest_url_snapshots": _q_latest_url_snapshots,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -2787,5 +2820,38 @@ def oracle_sql() -> dict[str, str]:
                 JOIN urls u ON n.doc_id = u.doc_id
                 JOIN t ON n.doc_id = t.doc_id
             ) WHERE rn = 1
+        """,
+        # the synthetic urls are already canonical under normalization,
+        # so the oracle diffs them directly; unchanged pages (%3==2)
+        # must not appear
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id,
+                       'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS u,
+                       text
+                FROM documents
+            ),
+            new AS (
+                SELECT doc_id + 5000000 AS doc_id,
+                       'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS u,
+                       CASE WHEN doc_id % 3 = 1 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id + 6000000 AS doc_id,
+                       'https://ex.com/new/' || CAST(doc_id AS VARCHAR) AS u,
+                       text
+                FROM documents WHERE doc_id % 3 = 1
+            )
+            SELECT norm_url, status, old_doc_id, new_doc_id FROM (
+                SELECT COALESCE(o.u, n.u) AS norm_url,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       COALESCE(o.doc_id, -1) AS old_doc_id,
+                       COALESCE(n.doc_id, -1) AS new_doc_id
+                FROM old o FULL OUTER JOIN new n ON o.u = n.u
+            ) WHERE status <> 'unchanged'
         """,
     }

@@ -191,3 +191,59 @@ def latest_snapshot(df: DataFrame, url_col: str = "url",
     return withurl.join(
         winners, ["norm_url", id_col], "left_semi",
     ).drop("norm_url").unionByName(nourl)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Incremental re-crawl delta: compare two crawl snapshots by
+    canonical URL and emit (norm_url, status, old_doc_id, new_doc_id)
+    for every ``added`` / ``removed`` / ``changed`` URL — ``unchanged``
+    pages (same canonical URL, byte-identical text) are NOT emitted.
+
+    This is how a 10^12-document pipeline processes crawl N+1 without
+    re-reading crawl N's work: downstream stages (sketching, dedup,
+    scoring) run on the delta, which for web crawls is a small fraction
+    of the corpus. Emitting only the delta is the point — the full
+    outer join's matched-and-identical rows die at the filter, inside
+    the join stage, so the output is O(churn), not O(corpus).
+
+    Shape: each side collapses revisits first (``latest_snapshot`` when
+    ``ts_col`` is given, else min-id ``url_dedup`` semantics), projects
+    to (norm_url, id, 16 B md5(text)) — the only bytes that shuffle —
+    then ONE full-outer equi-join on the canonical URL. Rows with NULL
+    urls carry no cross-snapshot identity and are excluded (they cannot
+    be matched between crawls); run content-level dedup on them instead.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        collapsed = (latest_snapshot(df, url_col, ts_col, id_col)
+                     if ts_col else url_dedup(df, url_col, id_col))
+        return (
+            with_normalized_url(collapsed, url_col)
+            .filter(F.col("norm_url").isNotNull())
+            .select(
+                "norm_url",
+                F.col(id_col).alias(f"{tag}_doc_id"),
+                F.md5(F.col(text_col)).alias(f"{tag}_fp"),
+            )
+        )
+
+    j = side(old, "old").join(side(new, "new"), "norm_url", "full_outer")
+    status = (
+        F.when(F.col("old_doc_id").isNull(), F.lit("added"))
+        .when(F.col("new_doc_id").isNull(), F.lit("removed"))
+        # eqNullSafe: a NULL text on one side is still a change
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("norm_url", "status", "old_doc_id", "new_doc_id")
+    )

@@ -1247,3 +1247,53 @@ def test_url_dedup_keeps_null_urls(spark):
         "doc_id long, url string")
     kept = sorted(r.doc_id for r in url_dedup(df).collect())
     assert kept == [1, 3, 4]
+
+
+def test_snapshot_diff_statuses(spark):
+    """urls.snapshot_diff: added/removed/changed classified per canonical
+    URL, unchanged omitted, revisits collapsed to the newest fetch before
+    diffing, NULL urls excluded (no cross-snapshot identity)."""
+    from mashspark.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "https://a.com/keep", "same text", 10),
+         (2, "https://a.com/edit", "old body", 10),
+         (3, "https://a.com/gone", "bye", 10),
+         # revisit: newest (ts=20) is what the diff must compare
+         (4, "https://a.com/multi", "stale", 10),
+         (5, "https://www.a.com/multi", "fresh", 20),
+         (6, None, "no url", 10)],
+        "doc_id long, url string, text string, warc_ts long")
+    new = spark.createDataFrame(
+        [(11, "https://a.com/keep", "same text", 30),
+         (12, "https://a.com/edit", "new body", 30),
+         (14, "https://a.com/multi", "fresh", 30),
+         (15, "https://a.com/born", "hi", 30),
+         (16, None, "still no url", 30)],
+        "doc_id long, url string, text string, warc_ts long")
+    got = {r.norm_url: (r.status, r.old_doc_id, r.new_doc_id)
+           for r in snapshot_diff(old, new, ts_col="warc_ts").collect()}
+    assert got == {
+        "https://a.com/edit": ("changed", 2, 12),
+        "https://a.com/gone": ("removed", 3, None),
+        "https://a.com/born": ("added", None, 15),
+    }
+    # keep (identical) and multi (newest copies identical) are absent;
+    # null-url rows never appear
+    assert "https://a.com/keep" not in got
+    assert "https://a.com/multi" not in got
+
+
+def test_snapshot_diff_null_text_is_change(spark):
+    """eqNullSafe guard: text going NULL (or arriving NULL) is a change,
+    not a silent 'unchanged'."""
+    from mashspark.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "https://a.com/x", None)], "doc_id long, url string, text string")
+    new = spark.createDataFrame(
+        [(2, "https://a.com/x", "now real")],
+        "doc_id long, url string, text string")
+    rows = snapshot_diff(old, new).collect()
+    assert [(r.norm_url, r.status) for r in rows] == [
+        ("https://a.com/x", "changed")]
