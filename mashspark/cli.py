@@ -533,6 +533,57 @@ def cmd_tokenize(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_diff(spark: SparkSession, args) -> int:
+    """Incremental re-crawl delta (beyond the reference): compare two
+    crawl snapshots by canonical URL and write only the
+    added/removed/changed rows — the input a downstream incremental
+    pipeline actually reprocesses."""
+    from .urls import snapshot_diff
+
+    old = load_docs(spark, args.old)
+    new = load_docs(spark, args.input)
+    for side, name in ((old, args.old), (new, args.input)):
+        if "url" not in side.columns:
+            print(f"diff: {name} has no 'url' column", file=sys.stderr)
+            return 2
+    ts = args.ts_col if args.ts_col else None
+    delta = snapshot_diff(old, new, ts_col=ts)
+    delta.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    counts = {r["status"]: r["n"] for r in
+              out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"added": counts.get("added", 0),
+                      "removed": counts.get("removed", 0),
+                      "changed": counts.get("changed", 0),
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
+def cmd_budget(spark: SparkSession, args) -> int:
+    """Token-budget selection (beyond the reference): keep the
+    best-scoring docs whose running token total fits --tokens; writes
+    the kept (doc_id, score, n_tokens, cum_tokens) layout."""
+    from .budget import select_within_budget
+
+    docs = load_docs(spark, args.input)
+    if args.score_col not in docs.columns:
+        print(f"budget: no {args.score_col!r} column (have "
+              f"{docs.columns}); pass --score-col", file=sys.stderr)
+        return 2
+    kept = select_within_budget(
+        docs, args.tokens, score_col=args.score_col,
+        token_count_col=args.token_count_col)
+    kept.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    stats = out.agg(F.count("*").alias("n"),
+                    F.max("cum_tokens").alias("used")).collect()[0]
+    print(json.dumps({"n_kept": int(stats.n),
+                      "tokens_used": int(stats.used or 0),
+                      "budget": args.tokens,
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
 def cmd_stream(spark: SparkSession, args) -> int:
     """Streaming incremental dedup (beyond the reference — the crawl
     firehose): consume a parquet document directory as a Structured
@@ -761,6 +812,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_tokenize, min_copies=1)
+
+    p = sub.add_parser(
+        "diff",
+        help="re-crawl delta: added/removed/changed urls vs an old "
+             "snapshot")
+    p.add_argument("--old", required=True, help="old snapshot parquet")
+    p.add_argument("--ts-col", default=None,
+                   help="timestamp column for revisit collapse "
+                        "(default: min-id per url)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input", help="new snapshot parquet")
+    p.set_defaults(fn=cmd_diff, min_copies=1)
+
+    p = sub.add_parser(
+        "budget",
+        help="keep the best-scoring docs under a global token budget")
+    p.add_argument("-t", "--tokens", type=int, required=True,
+                   help="global token budget")
+    p.add_argument("--score-col", default="score",
+                   help="quality column to rank by (descending)")
+    p.add_argument("--token-count-col", default=None,
+                   help="precomputed token-count column (default: "
+                        "whitespace tokens of text)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_budget, min_copies=1)
 
     p = sub.add_parser(
         "dedup-against",

@@ -396,3 +396,52 @@ def test_cli_route_backoff(spark, docs_parquet, tmp_path, capsys):
     assert sum(sizes.values()) == 12
     assert sorted(d for d in os.listdir(out) if d.startswith("bucket=")) \
         == [f"bucket={b}" for b in sorted(sizes)]
+
+
+def test_cli_diff_snapshot_delta(spark, tmp_path, capsys):
+    """diff: added/removed/changed counts on a tiny two-snapshot pair;
+    only the delta is written."""
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, "https://a.com/keep", "same"),
+         (2, "https://a.com/edit", "v1"),
+         (3, "https://a.com/gone", "x")],
+        "doc_id long, url string, text string",
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(11, "https://a.com/keep", "same"),
+         (12, "https://a.com/edit", "v2"),
+         (15, "https://a.com/born", "hi")],
+        "doc_id long, url string, text string",
+    ).write.parquet(new)
+    out = str(tmp_path / "delta")
+    rc = cli.main(["diff", "--old", old, "-o", out, new])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert (info["added"], info["removed"], info["changed"]) == (1, 1, 1)
+    got = {r.norm_url: r.status for r in spark.read.parquet(out).collect()}
+    assert got == {"https://a.com/edit": "changed",
+                   "https://a.com/gone": "removed",
+                   "https://a.com/born": "added"}
+
+
+def test_cli_budget_selection(spark, tmp_path, capsys):
+    """budget: keeps the top-score prefix under the token budget."""
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, 3.0, "a b c"), (2, 2.0, "d e"), (3, 1.0, "f g h i")],
+        "doc_id long, score double, text string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "kept")
+    rc = cli.main(["budget", "-t", "5", "-o", out, docs])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert info["n_kept"] == 2 and info["tokens_used"] == 5
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]
+    # missing score column -> argument error, not a crash
+    nos = str(tmp_path / "noscore.parquet")
+    spark.createDataFrame([(1, "t")], "doc_id long, text string") \
+        .write.parquet(nos)
+    assert cli.main(["budget", "-t", "5", "-o", out, nos]) == 2
