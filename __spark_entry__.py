@@ -743,6 +743,45 @@ def _q_video_frame_samples(spark, sf_dir):
     )
 
 
+def _q_media_phash_dup_pairs(spark, sf_dir):
+    """Perceptual-hash media dedup END TO END through the REAL BMP codec:
+    one deterministic gradient image per doc_id < 40 (seeded by the id,
+    so the table is partitioning-invariant), plus a brightness-shifted
+    copy at id+100 — a true near-dup that exact content hashing misses.
+    dHash via Arrow mapInPandas, Hamming pairs via the Manku block
+    equi-join. Rows-only check: the decode + area-mean resize + gradient
+    hash is not SQL-expressible; the kernel and the planted-pair recall
+    are pinned by tests/test_phash.py instead."""
+    from mashspark.phash import phash_dup_pairs, phash_media
+
+    def make_images(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mashspark.codecs import encode_bmp
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                base_id = int(mid) % 100
+                rng = np.random.default_rng(10_000 + base_id)
+                block = rng.integers(40, 200, size=(8, 8, 3), dtype=np.uint8)
+                img = np.repeat(np.repeat(block, 4, axis=0), 4, axis=1)
+                if int(mid) >= 100:  # planted near-dup: +15 brightness
+                    img = (img.astype(np.int32) + 15).clip(0, 255).astype(np.uint8)
+                ids.append(int(mid))
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"))
+    media = base.unionAll(
+        base.select((F.col("media_id") + 100).alias("media_id"))
+    ).mapInPandas(make_images, "media_id long, payload binary")
+    hashes = phash_media(media)
+    return phash_dup_pairs(hashes, max_hamming=6).select("id_a", "id_b", "hamming")
+
+
 def _q_events_hourly(spark, sf_dir):
     """Hourly tumbling-window rollup over the events table: count, exact
     integer value-sum (cents — double sums are shuffle-order-dependent and
@@ -1344,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
         "video_frame_samples": _q_video_frame_samples,
+        "media_phash_dup_pairs": _q_media_phash_dup_pairs,
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
         "extract_roundtrip": _q_extract_roundtrip,
