@@ -1339,6 +1339,34 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_unigram_seed_counts(spark, sf_dir):
+    """Unigram-LM tokenizer seed stage (Kudo 2018 / SentencePiece): the
+    weighted substring-occurrence table the trainer seeds from —
+    every substring (len <= 3) of every whitespace word over docs
+    doc_id < 150, weighted by word frequency. Pure relational algebra
+    (JVM array explode + groupBy), so fully DuckDB-oracle-checked; the
+    EM/Viterbi stages are pinned by tests/test_unigram.py instead."""
+    from mashspark.bpe import word_frequencies
+    from mashspark.unigram import seed_substring_counts
+
+    words = word_frequencies(_docs(spark, sf_dir).filter(F.col("doc_id") < 150))
+    return seed_substring_counts(words, max_piece_len=3).select("piece", "total")
+
+
+def _q_unigram_encoded_lengths(spark, sf_dir):
+    """Unigram-LM tokenizer END TO END: train on docs doc_id < 60
+    (vocab 60, fixed-point EM — bit-deterministic under partitioning),
+    Viterbi-encode docs doc_id < 120, return per-doc piece counts.
+    Rows-only: EM + Viterbi are not SQL-expressible; exact parity vs an
+    independent single-process trainer is pytest-pinned."""
+    from mashspark.unigram import encode_unigram, train_unigram
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    logp = train_unigram(docs.filter(F.col("doc_id") < 60), vocab_size=60,
+                         max_piece_len=4)
+    return encode_unigram(docs, logp, max_piece_len=4).select("doc_id", "n_pieces")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -1405,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ratio_scores": _q_dsir_ratio_scores,
         "bpe_trained_merges": _q_bpe_trained_merges,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
+        "unigram_seed_counts": _q_unigram_seed_counts,
+        "unigram_encoded_lengths": _q_unigram_encoded_lengths,
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
@@ -2788,6 +2818,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        # unigram-LM seed vocabulary: weighted counts of all substrings
+        # (len <= 3) of whitespace words, two stacked unnest levels
+        "unigram_seed_counts": r"""
+            WITH words AS (
+                SELECT word, count(*) AS cnt
+                FROM (
+                    SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                                       ELSE string_split_regex(trim(text), '\s+')
+                                  END) AS word
+                    FROM documents WHERE doc_id < 150
+                )
+                GROUP BY word
+            ),
+            starts AS (
+                SELECT word, cnt,
+                       unnest(generate_series(1, length(word))) AS i
+                FROM words
+            ),
+            pieces AS (
+                SELECT substring(word, CAST(i AS INT), CAST(n AS INT)) AS piece,
+                       cnt
+                FROM (
+                    SELECT word, cnt, i,
+                           unnest(generate_series(
+                               1, least(3, length(word) - i + 1))) AS n
+                    FROM starts
+                )
+            )
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS total
+            FROM pieces GROUP BY piece
         """,
         # greedy prefix under a global token budget == SQL window cumsum
         # in (score DESC, doc_id) order
