@@ -507,14 +507,35 @@ def cmd_profile(spark: SparkSession, args) -> int:
 
 
 def cmd_tokenize(spark: SparkSession, args) -> int:
-    """BPE tokenizer train + encode (beyond the reference): learn
-    --merges merges from the corpus (or a --train sample — at web scale
-    train on a deterministic hash-sample and encode everything), encode
-    every doc, write encoded parquet + the merge table."""
-    from .bpe import encode_bpe, train_bpe
-
+    """Tokenizer train + encode (beyond the reference): learn a BPE
+    merge list or a unigram-LM (SentencePiece) piece vocabulary from
+    the corpus (or a --train sample — at web scale train on a
+    deterministic hash-sample and encode everything), encode every
+    doc, write encoded parquet + the model table."""
     docs = load_docs(spark, args.input)
     train = load_docs(spark, args.train) if args.train else docs
+    if args.model == "unigram":
+        from .unigram import encode_unigram, train_unigram
+
+        logp = train_unigram(train, vocab_size=args.vocab_size,
+                             max_piece_len=args.max_piece_len)
+        enc = encode_unigram(docs, logp, max_piece_len=args.max_piece_len)
+        enc.write.mode("overwrite").parquet(
+            os.path.join(args.output, "encoded"))
+        spark.createDataFrame(
+            sorted(logp.items()), "piece string, logp double",
+        ).coalesce(1).write.mode("overwrite").json(
+            os.path.join(args.output, "vocab"))
+        out = spark.read.parquet(os.path.join(args.output, "encoded"))
+        stats = out.agg(F.count("*").alias("n"),
+                        F.sum("n_pieces").alias("toks")).collect()[0]
+        print(json.dumps({"model": "unigram", "vocab_size": len(logp),
+                          "n_docs": int(stats.n),
+                          "total_pieces": int(stats.toks or 0),
+                          "output": args.output}), file=sys.stderr)
+        return 0
+    from .bpe import encode_bpe, train_bpe
+
     merges = train_bpe(train, n_merges=args.merges,
                        min_frequency=args.min_frequency)
     enc = encode_bpe(docs, merges)
@@ -527,7 +548,8 @@ def cmd_tokenize(spark: SparkSession, args) -> int:
     out = spark.read.parquet(os.path.join(args.output, "encoded"))
     stats = out.agg(F.count("*").alias("n"),
                     F.sum("n_bpe_tokens").alias("toks")).collect()[0]
-    print(json.dumps({"n_merges": len(merges), "n_docs": int(stats.n),
+    print(json.dumps({"model": "bpe", "n_merges": len(merges),
+                      "n_docs": int(stats.n),
                       "total_bpe_tokens": int(stats.toks or 0),
                       "output": args.output}), file=sys.stderr)
     return 0
@@ -802,13 +824,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "tokenize",
-        help="train a BPE tokenizer and encode the corpus with it")
+        help="train a tokenizer (BPE or unigram-LM) and encode the "
+             "corpus with it")
+    p.add_argument("--model", choices=["bpe", "unigram"], default="bpe")
     p.add_argument("--train", help="training docs parquet (default: the "
                                    "input; at scale pass a hash-sample)")
     p.add_argument("-m", "--merges", type=int, default=512,
-                   help="max BPE merges to learn")
+                   help="bpe: max merges to learn")
     p.add_argument("--min-frequency", type=int, default=2,
-                   help="stop when the best pair is rarer than this")
+                   help="bpe: stop when the best pair is rarer than this")
+    p.add_argument("--vocab-size", type=int, default=512,
+                   help="unigram: target piece-vocabulary size")
+    p.add_argument("--max-piece-len", type=int, default=6,
+                   help="unigram: longest piece considered")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_tokenize, min_copies=1)

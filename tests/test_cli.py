@@ -321,6 +321,28 @@ def test_cli_tokenize_bpe(spark, docs_parquet, tmp_path, capsys):
     assert set(merges.columns) >= {"rank", "left", "right"}
 
 
+def test_cli_tokenize_unigram(spark, docs_parquet, tmp_path, capsys):
+    """tokenize --model unigram: train + Viterbi encode through the CLI
+    — encoded parquet and vocab table written, piece concatenation
+    restores each doc's whitespace-stripped text."""
+    out = str(tmp_path / "utok")
+    rc = cli.main(["tokenize", "--model", "unigram", "--vocab-size", "48",
+                   "--max-piece-len", "4", "-o", out, docs_parquet])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert metrics["model"] == "unigram" and metrics["n_docs"] == 12
+    enc = spark.read.parquet(os.path.join(out, "encoded"))
+    assert enc.count() == 12
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(docs_parquet).collect()}
+    for r in enc.collect():
+        assert "".join(r.pieces) == docs[r.doc_id].replace(" ", "")
+        assert r.n_pieces == len(r.pieces)
+    vocab = spark.read.json(os.path.join(out, "vocab"))
+    assert vocab.count() == metrics["vocab_size"]
+    assert set(vocab.columns) >= {"piece", "logp"}
+
+
 def test_cli_profile(spark, docs_parquet, tmp_path, capsys):
     """profile: global summary JSON + per-stratum parquet. The fixture
     has 6 families duplicated once each: dedup headroom must be 6."""
