@@ -190,6 +190,40 @@ def _q_line_dedup_cleaned(spark, sf_dir):
     return remove_boilerplate(_lined_docs(spark, sf_dir), min_docs=2)
 
 
+def _q_c4_line_filters(spark, sf_dir):
+    """C4 line + page filters (c4.c4_line_filters) over the lined view.
+    The fixture text has no punctuation, so the terminal-punct rule
+    would drop every line (a filter that cannot pass is as vacuous as
+    one that cannot fail); seed a '.' onto every even-position line —
+    identically in the DuckDB oracle — so both branches of every rule
+    fire."""
+    from mashspark.c4 import c4_line_filters
+
+    lined = _lined_docs(spark, sf_dir)
+    arr = F.split(F.col("text"), "\n")
+    seeded = F.array_join(
+        F.transform(
+            arr,
+            lambda x, i: F.when(i % 2 == 0, F.concat(x, F.lit(".")))
+            .otherwise(x),
+        ),
+        "\n",
+    )
+    return c4_line_filters(
+        lined.select("doc_id", seeded.alias("text")), min_words=5
+    )
+
+
+def _q_c4_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span global dedup (c4.span_dedup, n=3) over
+    the lined view: duplicated 3-line spans occur naturally across the
+    fixture's near-dup families (9 duplicated spans at sf0.001), so the
+    removal path is exercised without seeding."""
+    from mashspark.c4 import span_dedup
+
+    return span_dedup(_lined_docs(spark, sf_dir), n=3)
+
+
 def _q_bpe_token_counts(spark, sf_dir):
     """BPE-ish token counts (letter/digit/symbol run count)."""
     from mashspark.textstats import bpe_token_count
@@ -1384,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
+        "c4_line_filters": _q_c4_line_filters,
+        "c4_span_dedup": _q_c4_span_dedup,
         "bpe_token_counts": _q_bpe_token_counts,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "contamination_flags": _q_contamination_flags,
@@ -2304,6 +2340,100 @@ def oracle_sql() -> dict[str, str]:
                        AS n_lines_kept,
                    coalesce(r.cleaned, '') AS cleaned
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # independent DuckDB reimplementation of c4.c4_line_filters over
+        # the lined view with the same even-position '.' seeding; the
+        # page-level blocklist/brace checks run on the unseeded text —
+        # equivalent, since seeding only appends '.' characters
+        "c4_line_filters": r"""
+            WITH lined AS (
+                SELECT doc_id, text,
+                       string_split(replace(text, ' table ', chr(10)),
+                                    chr(10)) AS raw
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, u.idx - 1 AS idx,
+                       CASE WHEN (u.idx - 1) % 2 = 0 THEN u.line || '.'
+                            ELSE u.line END AS line
+                FROM lined,
+                     LATERAL (SELECT unnest(raw) AS line,
+                                     generate_subscripts(raw, 1) AS idx) AS u
+            ),
+            flt AS (
+                SELECT doc_id, idx, line FROM ex
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND trim(line) <> ''
+                  AND len(string_split_regex(trim(line), '\s+')) >= 5
+                  AND NOT contains(lower(line), 'javascript')
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY idx) AS cleaned
+                FROM flt GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(len(l.raw) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   (coalesce(a.n_kept, 0) >= 3
+                    AND NOT contains(lower(l.text), 'lorem ipsum')
+                    AND NOT contains(l.text, '{')) AS keep_page,
+                   coalesce(a.cleaned, '') AS cleaned
+            FROM lined l LEFT JOIN agg a USING (doc_id)
+        """,
+        # independent DuckDB reimplementation of c4.span_dedup (n=3):
+        # md5 over the same chr(10)-joined 3-line windows, first
+        # (doc_id, pos) occurrence wins via a window rank (the Spark
+        # side uses min(struct) — same ordering)
+        "c4_span_dedup": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       string_split(replace(text, ' table ', chr(10)),
+                                    chr(10)) AS units
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(units[i:i+2], chr(10))) AS h
+                FROM lined,
+                     LATERAL (SELECT unnest(generate_series(
+                                  1, len(units) - 2)) AS i)
+            ),
+            ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY h) AS c
+                FROM spans
+            ),
+            removed_units AS (
+                SELECT DISTINCT doc_id, pos + j AS idx
+                FROM ranked,
+                     LATERAL (SELECT unnest(generate_series(0, 2)) AS j)
+                WHERE c > 1 AND rn > 1
+            ),
+            exploded AS (
+                SELECT doc_id, u.idx - 1 AS idx, u.unit
+                FROM lined,
+                     LATERAL (SELECT unnest(units) AS unit,
+                                     generate_subscripts(units, 1) AS idx) AS u
+            ),
+            kept AS (
+                SELECT e.doc_id, e.idx, e.unit
+                FROM exploded e ANTI JOIN removed_units r
+                  ON e.doc_id = r.doc_id AND e.idx = r.idx
+            ),
+            rebuilt AS (
+                SELECT doc_id, count(*) AS n_units_kept,
+                       string_agg(unit, chr(10) ORDER BY idx) AS cleaned
+                FROM kept GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(len(l.units) AS BIGINT) AS n_units,
+                   CAST(coalesce(r.n_units_kept, 0) AS BIGINT)
+                       AS n_units_kept,
+                   coalesce(r.cleaned, '') AS cleaned
+            FROM lined l LEFT JOIN rebuilt r USING (doc_id)
         """,
         # independent DuckDB reimplementation of mashspark.urls'
         # canonicalization (fragment strip, scheme/host lowercase, www
