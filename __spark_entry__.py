@@ -1373,6 +1373,31 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_kn_doc_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (kneser.py): train on even
+    doc_ids, score odd doc_ids. The integer surfaces (bigram counts,
+    model-hit counts, context-hit counts, summed bigram counts) are the
+    oracle contract; the float logprob is pytest-pinned against an
+    independent pure-Python KN (tests/test_kneser.py)."""
+    from mashspark.kneser import score_kn, train_kn
+
+    docs = _docs(spark, sf_dir)
+    model = train_kn(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_kn(docs.filter(F.col("doc_id") % 2 == 1), model).select(
+        "doc_id", "n_bigrams", "n_hit_bigrams", "n_known_ctx", "sum_c_uw"
+    )
+
+
+def _q_kn_continuation_counts(spark, sf_dir):
+    """The Kneser-Ney continuation-count table N1+(.w) — the model
+    ingredient that distinguishes KN from every count-ratio smoother —
+    over the even-doc training split."""
+    from mashspark.kneser import train_kn
+
+    model = train_kn(_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0))
+    return model.words.select("w", "n_ctx")
+
+
 def _q_unigram_seed_counts(spark, sf_dir):
     """Unigram-LM tokenizer seed stage (Kudo 2018 / SentencePiece): the
     weighted substring-occurrence table the trainer seeds from —
@@ -1474,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
+        "kn_doc_scores": _q_kn_doc_scores,
+        "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
         "wet_roundtrip": _q_wet_roundtrip,
         "dsir_hashed_scores": _q_dsir_hashed_scores,
@@ -2783,6 +2810,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         # order-3 backoff resolution: highest n-gram order (trained on
         # the even half) seen at each position of each odd doc
+        # independent DuckDB reimplementation of kneser.py's integer
+        # surfaces: train bigram/context tables on even docs, score odd
+        # docs' per-position bigrams against them
+        "kn_doc_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            train_bg AS (
+                SELECT ws[CAST(i AS INT)] AS u,
+                       ws[CAST(i AS INT)+1] AS w
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                      FROM toks WHERE doc_id % 2 = 0)
+            ),
+            bi AS (SELECT u, w, count(*) AS c_uw FROM train_bg
+                   GROUP BY u, w),
+            ctx AS (SELECT u, sum(c_uw) AS c_u FROM bi GROUP BY u),
+            eval_bg AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS u,
+                       ws[CAST(i AS INT)+1] AS w
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM toks WHERE doc_id % 2 = 1)
+            ),
+            per AS (
+                SELECT doc_id, u, w, count(*) AS occ
+                FROM eval_bg GROUP BY doc_id, u, w
+            ),
+            j AS (
+                SELECT p.doc_id, p.occ, b.c_uw, c.c_u
+                FROM per p
+                LEFT JOIN bi b ON p.u = b.u AND p.w = b.w
+                LEFT JOIN ctx c ON p.u = c.u
+            )
+            SELECT doc_id,
+                   CAST(sum(occ) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c_uw IS NOT NULL THEN occ
+                            ELSE 0 END) AS BIGINT) AS n_hit_bigrams,
+                   CAST(sum(CASE WHEN c_u IS NOT NULL THEN occ
+                            ELSE 0 END) AS BIGINT) AS n_known_ctx,
+                   CAST(sum(coalesce(c_uw, 0) * occ) AS BIGINT)
+                       AS sum_c_uw
+            FROM j GROUP BY doc_id
+        """,
+        # the KN continuation-count table N1+(.w) over the same split
+        "kn_continuation_counts": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            train_bg AS (
+                SELECT ws[CAST(i AS INT)] AS u,
+                       ws[CAST(i AS INT)+1] AS w
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                      FROM toks WHERE doc_id % 2 = 0)
+            ),
+            bi AS (SELECT u, w FROM train_bg GROUP BY u, w)
+            SELECT w, CAST(count(*) AS BIGINT) AS n_ctx
+            FROM bi GROUP BY w
+        """,
         "backoff_hit_orders": """
             WITH toks AS (
                 SELECT doc_id,
