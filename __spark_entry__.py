@@ -1358,6 +1358,28 @@ def _q_wet_roundtrip(spark, sf_dir):
         "url", F.md5(F.col("text")).alias("text_md5"))
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC binary connector (warc.write_warc -> warc.read_warc): the
+    fixture serialized as gzipped multi-member response archives with
+    HTTP wrappers and a warcinfo preamble, read back through the
+    Content-Length record walker. Output is (url, warc_ts, html_md5);
+    byte-identity of the binary payload vs the source text is the
+    oracle check, so any framing/gzip/HTTP-strip loss fails."""
+    import tempfile
+
+    from mashspark.warc import read_warc, write_warc
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://ex.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    path = tempfile.mkdtemp(prefix="mashspark_warc_") + "/archive"
+    write_warc(docs, path, num_files=4, compress=True)
+    return read_warc(spark, path).select(
+        "url", "warc_ts", F.md5(F.col("html")).alias("html_md5"))
+
+
 def _q_dsir_hashed_scores(spark, sf_dir):
     """Hashed-feature DSIR (dsir.hashed_ratio_scores, dim=1024,
     unigrams+bigrams): the paper's fixed-dimension model — same split
@@ -1503,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
         "wet_roundtrip": _q_wet_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "dsir_hashed_scores": _q_dsir_hashed_scores,
         "budget_selection": _q_budget_selection,
         "leakage_split_assign": _q_leakage_split_assign,
@@ -3037,6 +3060,14 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip": """
             SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
                    md5(text) AS text_md5
+            FROM documents
+        """,
+        # WARC round-trip: the reader must hand back exactly the UTF-8
+        # bytes of text per url, plus the writer's fixed timestamp
+        "warc_roundtrip": """
+            SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+                   md5(text) AS html_md5
             FROM documents
         """,
         # unigram-LM seed vocabulary: weighted counts of all substrings

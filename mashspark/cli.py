@@ -471,13 +471,25 @@ def cmd_member(spark: SparkSession, args) -> int:
 
 
 def cmd_ingest(spark: SparkSession, args) -> int:
-    """WET archive ingestion (beyond the reference; reference analog:
-    the FASTA/FASTQ scanners): Common-Crawl-shaped multi-record text
-    archives -> a documents parquet table (doc_id, url, date, text),
-    record-split inside the JVM text source."""
-    from .wet import read_wet
+    """Crawl archive ingestion (beyond the reference; reference analog:
+    the FASTA/FASTQ scanners). --format wet: Common-Crawl-shaped
+    multi-record text archives, record-split inside the JVM text
+    source -> (doc_id, url, date, text). --format warc: binary
+    response archives (plain or gzipped), Content-Length record walk +
+    HTTP strip + html->text extraction -> (doc_id, url, warc_ts,
+    text)."""
+    if args.format == "warc":
+        from .extract import extracted_text
+        from .warc import read_warc
 
-    docs = read_wet(spark, args.input)
+        docs = read_warc(spark, args.input).select(
+            "doc_id", "url", "warc_ts",
+            extracted_text(F.col("html").cast("string")).alias("text"),
+        )
+    else:
+        from .wet import read_wet
+
+        docs = read_wet(spark, args.input)
     docs.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     n = out.count()
@@ -806,9 +818,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "ingest",
-        help="WET-style text archives -> documents parquet table")
+        help="WET/WARC crawl archives -> documents parquet table")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("input", help="directory of WET-style archive files")
+    p.add_argument("--format", choices=["wet", "warc"], default="wet",
+                   help="wet: text conversions; warc: binary responses "
+                        "(gzip ok) with html->text extraction")
+    p.add_argument("input", help="directory of crawl archive files")
     p.set_defaults(fn=cmd_ingest, min_copies=1)
 
     p = sub.add_parser(

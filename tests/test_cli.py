@@ -404,6 +404,37 @@ def test_cli_ingest_wet(spark, tmp_path, capsys):
     assert joined.filter("a.text <> b.text").count() == 0
 
 
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    """ingest --format warc: gzipped binary response archives ->
+    documents parquet with extracted text and parsed timestamps."""
+    from pyspark.sql import functions as F
+
+    from mashspark.warc import write_warc
+    from mashspark.webtext import webtext_spark_df
+
+    docs = webtext_spark_df(spark, n_base=10, seed=9).select(
+        "url",
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "UTF-8")
+        .alias("html"),
+    )
+    arch = str(tmp_path / "warcarch")
+    write_warc(docs, arch, num_files=2, compress=True,
+               date="2026-03-04T05:06:07Z")
+    out = str(tmp_path / "ingested_warc")
+    rc = cli.main(["ingest", "--format", "warc", "-o", out, arch])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    n = docs.count()
+    assert info["n_records"] == n and info["n_distinct_urls"] == n
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "url", "warc_ts", "text"}
+    src = webtext_spark_df(spark, n_base=10, seed=9).select("url", "text")
+    joined = src.alias("a").join(back.alias("b"), "url")
+    assert joined.filter("a.text <> b.text").count() == 0
+    assert back.filter("warc_ts IS NULL").count() == 0
+
+
 def test_cli_route_backoff(spark, docs_parquet, tmp_path, capsys):
     """route --backoff 2: Stupid-Backoff-scored tier routing — every
     doc lands in exactly one of 3 tiers, partition layout intact."""
