@@ -156,6 +156,37 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (pq.py, m=4, k=8, n_iters=0): the
+    deterministic-init codebooks (subvectors of the 8 smallest vec_ids)
+    make the whole encode SQL-expressible — DuckDB recomputes the
+    argmin-distance code per (vector, subspace). Lloyd-trained
+    codebooks and ADC search are pytest-pinned (tests/test_pq.py)."""
+    from mashspark.pq import pq_encode, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=4, k=8, n_iters=0)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        *[F.col("codes").getItem(j).alias(f"code_{j}") for j in range(4)],
+    )
+
+
+def _q_pq_knn(spark, sf_dir):
+    """PQ ADC top-k search (pq.py): Lloyd-trained codebooks (2 iters),
+    queries = vec_id < 20, k=5. Rows-only: the trained codebooks are
+    float-iterated and not SQL-expressible; exact ADC parity vs the
+    single-process reference is pytest-pinned."""
+    from mashspark.pq import pq_search, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=4, k=8, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return pq_search(emb, queries, books, top_k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style intra-doc duplicate-line signals. Self-seeded: the
     doc's FIRST line is appended again, so every doc has >=1 duplicated
@@ -1462,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_group_sizes": _q_fingerprint_group_sizes,
         "knn_topk": _q_knn_topk,
         "ivf_knn": _q_ivf_knn,
+        "pq_codes": _q_pq_codes,
+        "pq_knn": _q_pq_knn,
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
@@ -1975,6 +2008,39 @@ def oracle_sql() -> dict[str, str]:
         # of the 8 smallest vec_ids (list_id = position in id order);
         # assignment and probing both rank by cosine with ties to the
         # lower list id, exactly as make_ivf_assign_udf/make_ivf_probe_udf
+        # independent DuckDB reimplementation of pq.pq_encode with the
+        # deterministic n_iters=0 codebooks: per (vector, subspace)
+        # argmin distance to the 8 seed centroids' subvectors, ties to
+        # the lower code (list_distance is monotone in the squared L2
+        # the Spark side minimizes)
+        "pq_codes": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       embedding
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+            assign AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT v.vec_id, s.sub, c.code,
+                           row_number() OVER (
+                               PARTITION BY v.vec_id, s.sub
+                               ORDER BY list_distance(
+                                   v.embedding[s.sub*16+1 : s.sub*16+16],
+                                   c.embedding[s.sub*16+1 : s.sub*16+16]
+                               ) ASC, c.code ASC
+                           ) AS rn
+                    FROM embeddings v CROSS JOIN cent c CROSS JOIN subs s
+                ) WHERE rn = 1
+            )
+            SELECT vec_id,
+                   CAST(max(CASE WHEN sub = 0 THEN code END) AS INT) AS code_0,
+                   CAST(max(CASE WHEN sub = 1 THEN code END) AS INT) AS code_1,
+                   CAST(max(CASE WHEN sub = 2 THEN code END) AS INT) AS code_2,
+                   CAST(max(CASE WHEN sub = 3 THEN code END) AS INT) AS code_3
+            FROM assign GROUP BY vec_id
+        """,
         "ivf_knn": """
             WITH cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,

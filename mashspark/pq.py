@@ -1,0 +1,267 @@
+"""Product quantization ANN (Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search", TPAMI — public paper): the
+memory-scale path for embedding search. The vector's dim is split into
+``m`` subspaces; each subspace gets its own ``k``-centroid codebook;
+a vector is stored as ``m`` small codes (m bytes at k<=256) instead of
+dim floats — 32x compression at dim=64/m=8/float32 — and approximate
+distances are m table lookups per (query, vector), no float vector
+math on the corpus at query time (ADC, asymmetric distance
+computation).
+
+Why this matters at 100 TB: an embedding column at 10^12 docs x 64
+floats is 256 TB; its PQ codes at m=8 are 8 TB — the difference
+between "the index fits the cluster's RAM/NVMe" and "it doesn't".
+FAISS-IVFPQ is the reference design; this is the PQ half re-expressed
+for Spark (compose with ``ann.ivf_*`` for the IVF half).
+
+Scale shape:
+
+- TRAIN (``pq_train``): per-subspace Lloyd iterations, ALL subspaces
+  in ONE ``mapInPandas`` pass per iteration emitting per-partition
+  partial sums — O(partitions x m x k) rows of dsub doubles collected,
+  independent of corpus size (the same partials-only combine as
+  ``ann.ivf_train``). Deterministic init (the k smallest ids'
+  subvectors), so the ``n_iters=0`` quantizer is fully
+  oracle-checkable in SQL.
+- ENCODE (``pq_encode``): map-only Arrow pass, codebooks in the UDF
+  closure; per batch one (batch x k) matmul per subspace. Codes are
+  ``array<int>`` (m entries, each < k).
+- SEARCH (``pq_search``): queries are driver-sized by assumption
+  (same contract as ``ann.knn_bruteforce``); their ADC lookup tables
+  (q x m x k doubles) ride the UDF closure. One map pass over the
+  ENCODED corpus computes LUT-gathered distances and keeps a local
+  top-k per (partition, query); the global top-k merges O(partitions
+  x q x k) rows through one small window — the corpus itself never
+  shuffles and its float vectors are never touched at query time.
+
+Reference scope note: the reference engine (marbl/Mash) quantizes
+sequences into bottom-k MinHash sketches — compact fingerprints
+compared without touching the original data; PQ is the embedding-space
+member of the same design family, from the task brief's
+similarity-search axis.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def _bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Contiguous subspace [start, stop) bounds; dim must divide by m."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [(j * d, (j + 1) * d) for j in range(m)]
+
+
+def _stack(vecs: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _assign_subspace(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin_j ||x - c_j||^2 per row; ties to the LOWEST code (argmin
+    returns the first minimum), matching the oracle's ORDER BY dist
+    ASC, code ASC. ||x||^2 is row-constant, so comparing
+    ||c_j||^2 - 2<x,c_j> is exact up to float assoc — we use the full
+    squared distance to match a naive SQL oracle's arithmetic as
+    closely as possible."""
+    # (n, k): broadcast difference is fine at Arrow batch sizes
+    d = ((mat[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
+             n_iters: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int | None = None,
+             sample_mod: int | None = None) -> np.ndarray:
+    """Train the (m, k, dim/m) codebook tensor. Init is deterministic
+    (subvectors of the ``k`` smallest ids); each Lloyd iteration is ONE
+    corpus pass emitting per-partition partial sums for every
+    (subspace, code) cell; empty cells keep their previous centroid
+    (FAISS behavior). ``sample_mod=s`` trains on the deterministic
+    1/s id-hash sample — codebook quality needs a sample, not the
+    corpus."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if dim is None:
+        dim = int(vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    bounds = _bounds(dim, m)
+    base = vectors.select(F.col(vec_col).alias("vec"))
+    if sample_mod and sample_mod > 1:
+        base = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        ).select(F.col(vec_col).alias("vec"))
+
+    init = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("vec"))
+        .orderBy("i").limit(k).collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors to seed the codebooks")
+    full = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
+    books = np.stack([full[:, a:b] for a, b in bounds])  # (m, k, dsub)
+
+    partial_schema = StructType([
+        StructField("sub_id", IntegerType()),
+        StructField("code", IntegerType()),
+        StructField("count", DoubleType()),
+        StructField("sums", ArrayType(DoubleType())),
+    ])
+
+    for _ in range(max(0, n_iters)):
+        cb = books.copy()
+
+        def partials(batches: Iterator[pd.DataFrame], _cb=cb
+                     ) -> Iterator[pd.DataFrame]:
+            mm, kk, dsub = _cb.shape
+            sums = np.zeros((mm, kk, dsub))
+            counts = np.zeros((mm, kk))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _stack(pdf["vec"])
+                for j, (a, b) in enumerate(bounds):
+                    sub = mat[:, a:b]
+                    assign = _assign_subspace(sub, _cb[j])
+                    np.add.at(sums[j], assign, sub)
+                    np.add.at(counts[j], assign, 1.0)
+            subs, codes = np.nonzero(counts)
+            yield pd.DataFrame({
+                "sub_id": subs.astype(np.int32),
+                "code": codes.astype(np.int32),
+                "count": counts[subs, codes],
+                "sums": [sums[s, c] for s, c in zip(subs, codes)],
+            })
+
+        parts = base.mapInPandas(partials, schema=partial_schema).collect()
+        sums = np.zeros_like(books)
+        counts = np.zeros(books.shape[:2])
+        for r in parts:
+            sums[r["sub_id"], r["code"]] += np.asarray(r["sums"])
+            counts[r["sub_id"], r["code"]] += r["count"]
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """array<int> of m codes per embedding; codebooks ride the closure."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = cb.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def pq_encode_udf(vecs: pd.Series) -> pd.Series:
+        mat = _stack(vecs)
+        codes = np.empty((len(mat), mm), dtype=np.int32)
+        for j in range(mm):
+            codes[:, j] = _assign_subspace(
+                mat[:, j * dsub:(j + 1) * dsub], cb[j])
+        return pd.Series(list(codes))
+
+    return pq_encode_udf
+
+
+def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes) — the m-byte-per-vector compressed index relation."""
+    udf = make_pq_encode_udf(codebooks)
+    return vectors.select(
+        F.col(id_col), udf(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_reference(query: np.ndarray, codes: np.ndarray,
+                     codebooks: np.ndarray) -> np.ndarray:
+    """Single-process ADC distances (tests + docs): LUT[j, c] =
+    ||q_sub_j - codebook[j, c]||^2; dist(v) = sum_j LUT[j, codes[v, j]]."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = cb.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.stack([
+        ((q[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1)
+        for j in range(mm)
+    ])  # (m, k)
+    return lut[np.arange(mm)[None, :], codes].sum(axis=1)
+
+
+def pq_search(vectors: DataFrame, queries: DataFrame,
+              codebooks: np.ndarray, top_k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k neighbors by ADC over PQ codes.
+
+    Queries are collected to the driver (driver-sized by contract, as
+    in ``ann.knn_bruteforce``) and their LUTs ship in the UDF closure.
+    One map pass encodes + scores the corpus and keeps a LOCAL top-k
+    per (partition, query); the global merge windows O(partitions x
+    queries x top_k) rows. Output: (query_id, neighbor_id, adc_dist,
+    rank), self-matches excluded, ties on ascending neighbor id.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, dsub = cb.shape
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("qvec")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    # (q, m, k) lookup tables
+    luts = np.stack([
+        ((qmat[:, j * dsub:(j + 1) * dsub][:, None, :]
+          - cb[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(mm)
+    ], axis=1)
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adc_dist", DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {}
+        import heapq
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack(pdf["vec"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.empty((len(mat), mm), dtype=np.int64)
+            for j in range(mm):
+                codes[:, j] = _assign_subspace(
+                    mat[:, j * dsub:(j + 1) * dsub], cb[j])
+            # dists: (q, n) via LUT gather
+            gathered = luts[:, np.arange(mm)[None, :], codes]  # (q, n, m)
+            dists = gathered.sum(axis=2)
+            for qi in range(len(qids)):
+                heap = best.setdefault(qi, [])
+                for d, nid in zip(dists[qi], ids):
+                    if nid == qids[qi]:
+                        continue
+                    # max-heap by negated dist; tie -> keep smaller id
+                    item = (-float(d), -int(nid))
+                    if len(heap) < top_k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        rows = [(int(qids[qi]), -nid_neg, -dneg)
+                for qi, heap in best.items()
+                for dneg, nid_neg in heap]
+        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                          "adc_dist"])
+
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"))
+    local = v.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
