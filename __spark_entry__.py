@@ -1426,6 +1426,22 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_edit_dup_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs (editsim.edit_dup_pairs), fixture-
+    scoped brute force (the production path is edit_verify_pairs over
+    LSH candidates — pytest-pinned): docs doc_id < 80 truncated to 200
+    chars, self-seeded with a 3-char-append copy so the cap (5) has
+    hits on both sides of the boundary."""
+    from mashspark.editsim import edit_dup_pairs
+
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") < 80).select(
+        "doc_id", F.substring("text", 1, 200).alias("text"))
+    seeded = base.unionByName(base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text")))
+    return edit_dup_pairs(seeded, max_dist=5)
+
+
 def _q_kn_doc_scores(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (kneser.py): train on even
     doc_ids, score odd doc_ids. The integer surfaces (bigram counts,
@@ -1554,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
+        "edit_dup_pairs": _q_edit_dup_pairs,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
@@ -2899,6 +2916,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # order-3 backoff resolution: highest n-gram order (trained on
         # the even half) seen at each position of each odd doc
+        # independent DuckDB levenshtein over the same seeded subset;
+        # the length prefilter mirrors the operator's lower bound
+        "edit_dup_pairs": """
+            WITH base AS (
+                SELECT doc_id, substr(text, 1, 200) AS t
+                FROM documents WHERE doc_id < 80
+            ),
+            seeded AS (
+                SELECT doc_id, t FROM base
+                UNION ALL
+                SELECT doc_id + 10000000, t || ' zq' FROM base
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.t AS ta, b.t AS tb
+                FROM seeded a, seeded b
+                WHERE a.doc_id < b.doc_id
+                  AND abs(length(a.t) - length(b.t)) <= 5
+            ),
+            scored AS (
+                SELECT id_a, id_b, levenshtein(ta, tb) AS d,
+                       greatest(length(ta), length(tb)) AS ml
+                FROM pairs
+            )
+            SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist,
+                   round(CASE WHEN ml = 0 THEN 1.0
+                              ELSE 1.0 - d / ml END, 6) AS edit_sim
+            FROM scored WHERE d <= 5
+        """,
         # independent DuckDB reimplementation of kneser.py's integer
         # surfaces: train bigram/context tables on even docs, score odd
         # docs' per-position bigrams against them
