@@ -187,6 +187,22 @@ def _q_pq_knn(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def _q_ivfpq_knn(spark, sf_dir):
+    """IVFPQ composed search (pq.ivfpq_*): coarse quantizer + residual
+    PQ codes, nprobe=3 of 8 lists, k=5. Rows-only: float-trained
+    codebooks; index/search parity vs the single-process reference is
+    pytest-pinned (tests/test_pq.py)."""
+    from mashspark.pq import ivfpq_index, ivfpq_search, ivfpq_train
+
+    emb = _emb(spark, sf_dir)
+    cent, books = ivfpq_train(emb, n_lists=8, m=4, k=8, n_iters=2,
+                              coarse_iters=2)
+    idx = ivfpq_index(emb, cent, books)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_search(idx, queries, cent, books, top_k=5,
+                        nprobe=3).select("query_id", "neighbor_id", "rank")
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style intra-doc duplicate-line signals. Self-seeded: the
     doc's FIRST line is appended again, so every doc has >=1 duplicated
@@ -1511,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": _q_ivf_knn,
         "pq_codes": _q_pq_codes,
         "pq_knn": _q_pq_knn,
+        "ivfpq_knn": _q_ivfpq_knn,
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
         "line_dedup_cleaned": _q_line_dedup_cleaned,

@@ -190,6 +190,197 @@ def pq_adc_reference(query: np.ndarray, codes: np.ndarray,
     return lut[np.arange(mm)[None, :], codes].sum(axis=1)
 
 
+# ---------------------------------------------------------------------------
+# IVFPQ — coarse quantizer (ann.ivf_*) + residual PQ, composed
+# ---------------------------------------------------------------------------
+# The FAISS IVFPQ design: assign each vector to its nearest coarse
+# centroid, PQ-encode the RESIDUAL (x - centroid) — residuals are far
+# more compressible than raw vectors because the coarse quantizer has
+# already removed the between-cluster variance — and at query time
+# probe only nprobe lists, with a per-(query, list) LUT built from the
+# query's residual against that list's centroid.
+
+
+def _ivf_assign_np(mat: np.ndarray, cent_norm: np.ndarray) -> np.ndarray:
+    """Cosine assignment matching ann.make_ivf_assign_udf (normalized
+    rows x normalized centroids, argmax, ties to the lower list)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ((mat / norms) @ cent_norm.T).argmax(axis=1)
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def ivfpq_train(vectors: DataFrame, n_lists: int = 8, m: int = 4,
+                k: int = 16, n_iters: int = 4, coarse_iters: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                sample_mod: int | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse centroids (n_lists, dim), residual codebooks (m, k,
+    dim/m)). The coarse quantizer is ``ann.ivf_train``; the PQ
+    codebooks train on residuals via the same partials-only Lloyd —
+    the residual projection is a map-only Arrow pass, so training
+    stays two corpus passes per iteration total, nothing collected
+    beyond O(partitions x m x k) partials."""
+    from pyspark.sql.types import DoubleType
+
+    from mashspark.ann import ivf_train
+
+    cent = ivf_train(vectors, n_lists=n_lists, n_iters=coarse_iters,
+                     id_col=id_col, vec_col=vec_col,
+                     sample_mod=sample_mod)
+    cn = _norm_rows(np.asarray(cent, dtype=np.float64))
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def residual_udf(vecs: pd.Series) -> pd.Series:
+        mat = _stack(vecs)
+        assign = _ivf_assign_np(mat, cn)
+        return pd.Series(list(mat - cent[assign]))
+
+    resid = vectors.select(
+        F.col(id_col), residual_udf(F.col(vec_col)).alias(vec_col))
+    books = pq_train(resid, m=m, k=k, n_iters=n_iters, id_col=id_col,
+                     vec_col=vec_col)
+    return cent, books
+
+
+def ivfpq_index(vectors: DataFrame, centroids: np.ndarray,
+                codebooks: np.ndarray, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id, codes): ONE map-only Arrow pass assigns the coarse
+    list and PQ-encodes the residual — the stored index relation is
+    8 + 4 + m bytes per vector."""
+    from pyspark.sql.types import (IntegerType as _I, LongType as _L,
+                                   StructField, StructType)
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cn = _norm_rows(cent)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = cb.shape
+
+    schema = StructType([
+        StructField("id", _L()),
+        StructField("list_id", _L()),
+        StructField("codes", ArrayType(_I())),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack(pdf["vec"])
+            assign = _ivf_assign_np(mat, cn)
+            resid = mat - cent[assign]
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                codes[:, j] = _assign_subspace(
+                    resid[:, j * dsub:(j + 1) * dsub], cb[j])
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(dtype=np.int64),
+                "list_id": assign.astype(np.int64),
+                "codes": list(codes),
+            })
+
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"))
+    return v.mapInPandas(build, schema=schema)
+
+
+def ivfpq_search(index: DataFrame, queries: DataFrame,
+                 centroids: np.ndarray, codebooks: np.ndarray,
+                 top_k: int = 5, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over the IVFPQ index: each query probes its
+    ``nprobe`` nearest lists (cosine, matching the index assignment)
+    and scores ONLY rows in those lists, by ADC against a per-(query,
+    list) residual LUT. The LUT tensor (q x nprobe x m x k doubles)
+    rides the closure — driver-sized queries by contract. One map pass
+    + per-partition local top-k + one small global window; the index
+    never shuffles. Output: (query_id, neighbor_id, adc_dist, rank).
+    """
+    import heapq
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cn = _norm_rows(cent)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, dsub = cb.shape
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("qvec")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    nprobe = min(nprobe, cent.shape[0])
+    sims = _norm_rows(qmat) @ cn.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # (q, p)
+    # per (query, probed list) residual LUTs: (q, p, m, k)
+    luts = np.empty((len(qids), nprobe, mm, kk))
+    for qi in range(len(qids)):
+        for pi in range(nprobe):
+            r = qmat[qi] - cent[probes[qi, pi]]
+            for j in range(mm):
+                luts[qi, pi, j] = (
+                    (r[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2
+                ).sum(axis=1)
+    # list -> [(qi, pi)] inverted probe map
+    probe_map: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(len(qids)):
+        for pi in range(nprobe):
+            probe_map.setdefault(int(probes[qi, pi]), []).append((qi, pi))
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adc_dist", DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["codes"]])
+            for lid in np.unique(lists):
+                hits = probe_map.get(int(lid))
+                if not hits:
+                    continue
+                sel = lists == lid
+                sids = ids[sel]
+                scodes = codes[sel]
+                for qi, pi in hits:
+                    lut = luts[qi, pi]
+                    d = lut[np.arange(mm)[None, :], scodes].sum(axis=1)
+                    heap = best.setdefault(qi, [])
+                    for dv, nid in zip(d, sids):
+                        if nid == qids[qi]:
+                            continue
+                        item = (-float(dv), -int(nid))
+                        if len(heap) < top_k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
+        rows = [(int(qids[qi]), -nid_neg, -dneg)
+                for qi, heap in best.items()
+                for dneg, nid_neg in heap]
+        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                          "adc_dist"])
+
+    local = index.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def pq_search(vectors: DataFrame, queries: DataFrame,
               codebooks: np.ndarray, top_k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

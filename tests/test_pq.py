@@ -134,6 +134,76 @@ def test_pq_search_matches_adc_reference(spark):
             assert dg == pytest.approx(dw, rel=1e-12)
 
 
+def test_ivfpq_index_and_search(spark):
+    """IVFPQ end-to-end: residual encode consistency and top-k parity
+    with a single-process reference over the probed lists."""
+    from mashspark.pq import ivfpq_index, ivfpq_search, ivfpq_train
+    from mashspark.pq import _ivf_assign_np, _norm_rows
+
+    rows = _clustered(n_clusters=8, per_cluster=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cent, books = ivfpq_train(df, n_lists=8, m=M, k=4, n_iters=2,
+                              coarse_iters=2)
+    idx = ivfpq_index(df, cent, books)
+    got = {r["id"]: (r["list_id"], tuple(r["codes"])) for r in idx.collect()}
+
+    mat = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                    for _, v, _ in sorted(rows)])
+    cn = _norm_rows(cent)
+    assign = _ivf_assign_np(mat, cn)
+    resid = mat - cent[assign]
+    bounds = _bounds(DIM, M)
+    for i, _ in enumerate(sorted(rows)):
+        lid, codes = got[i]
+        assert lid == assign[i], i
+        want = tuple(int(_assign_subspace(resid[i:i + 1, a:b], books[j])[0])
+                     for j, (a, b) in enumerate(bounds))
+        assert codes == want, i
+
+    # search parity: single-process ADC over the probed lists
+    res = ivfpq_search(idx.repartition(3), df.filter(F.col("vec_id") < 2),
+                       cent, books, top_k=4, nprobe=2)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_dist"]))
+    codes_all = np.stack([np.array(got[i][1]) for i in sorted(got)])
+    for qid in (0, 1):
+        q = mat[qid]
+        sims = _norm_rows(q[None, :]) @ cn.T
+        probes = np.argsort(-sims[0], kind="stable")[:2]
+        cands = []
+        for i in sorted(got):
+            lid, _ = got[i]
+            if lid in probes and i != qid:
+                r = q - cent[lid]
+                d = sum(((r[a:b] - books[j][codes_all[i, j]]) ** 2).sum()
+                        for j, (a, b) in enumerate(bounds))
+                cands.append((float(d), i))
+        want = sorted(cands)[:4]
+        have = sorted(by_q[qid])
+        assert [n for _, n, _ in have] == [n for _, n in want], qid
+        for (_, _, dg), (dw, _) in zip(have, want):
+            assert dg == pytest.approx(dw, rel=1e-12)
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    from mashspark.ann import knn_bruteforce
+    from mashspark.pq import ivfpq_index, ivfpq_search, ivfpq_train
+
+    rows = _clustered(n_clusters=20, per_cluster=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cent, books = ivfpq_train(df, n_lists=10, m=M, k=8, n_iters=3,
+                              coarse_iters=3)
+    idx = ivfpq_index(df, cent, books)
+    queries = df.filter(F.col("vec_id") % 37 == 0)
+    approx = ivfpq_search(idx, queries, cent, books, top_k=5, nprobe=3)
+    exact = knn_bruteforce(df, queries, top_k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.8, len(a & e) / len(e)
+
+
 def test_pq_search_recall_on_clustered_data(spark):
     """recall@5 vs exact brute force. PQ resolves at codebook-cell
     granularity — inside one tight blob every vector shares the same
