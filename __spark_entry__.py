@@ -228,6 +228,25 @@ def _q_top_ngram_stats(spark, sf_dir):
     return top_ngram_stats(_docs(spark, sf_dir), n=2)
 
 
+def _q_dup_ngram_coverage(spark, sf_dir):
+    """Gopher duplicated-5-gram character coverage
+    (repetition.dup_ngram_coverage). The fixture has zero natural
+    within-doc duplicate 5-grams, so even-id docs are seeded by
+    re-appending their first five words (identically in the oracle) —
+    covered and uncovered branches both fire."""
+    from mashspark.repetition import dup_ngram_coverage
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    head5 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(" "), head5))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return dup_ngram_coverage(seeded, n=5)
+
+
 def _q_line_dedup_cleaned(spark, sf_dir):
     """CCNet-style boilerplate-line removal at min_docs=2 over the lined
     view (69 of 1268 distinct lines are shared by >=2 docs at sf0.01, so
@@ -1530,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_knn": _q_ivfpq_knn,
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
         "c4_line_filters": _q_c4_line_filters,
         "c4_span_dedup": _q_c4_span_dedup,
@@ -2456,6 +2476,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CCNet line dedup oracle: exact line strings stand in for the
         # engine's xxhash64 keys (identical absent 64-bit collisions)
+        # independent DuckDB reimplementation of
+        # repetition.dup_ngram_coverage (n=5) over the same seeded
+        # view: cumulative single-space offsets, lead-window 5-grams,
+        # duplicated-gram intervals unioned via the islands technique
+        "dup_ngram_coverage": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN text || ' ' ||
+                            array_to_string(
+                                list_slice(string_split(text, ' '), 1, 5),
+                                ' ')
+                            ELSE text END AS text
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, u.w, u.i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM seeded) t,
+                     LATERAL (SELECT unnest(ws) AS w,
+                                     generate_subscripts(ws, 1) AS i) AS u
+            ),
+            offs AS (
+                SELECT doc_id, w, i,
+                       CAST(coalesce(sum(length(w) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS s_off
+                FROM words
+            ),
+            grams AS (
+                SELECT doc_id, i, s_off AS gs,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win AS g
+                FROM offs
+                WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            valid AS (
+                SELECT doc_id, gs, gs + length(g) AS ge, g
+                FROM grams WHERE g IS NOT NULL
+            ),
+            ival AS (
+                SELECT doc_id, gs, ge FROM (
+                    SELECT doc_id, gs, ge,
+                           count(*) OVER (PARTITION BY doc_id, g) AS c
+                    FROM valid
+                ) WHERE c > 1
+            ),
+            marked AS (
+                SELECT doc_id, gs, ge,
+                       CASE WHEN gs > coalesce(max(ge) OVER (
+                                PARTITION BY doc_id ORDER BY gs, ge
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS new_island
+                FROM ival
+            ),
+            islands AS (
+                SELECT doc_id, gs, ge,
+                       sum(new_island) OVER (
+                           PARTITION BY doc_id ORDER BY gs, ge
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl
+                FROM marked
+            ),
+            cov AS (
+                SELECT doc_id, sum(mx - mn) AS covered FROM (
+                    SELECT doc_id, isl, min(gs) AS mn, max(ge) AS mx
+                    FROM islands GROUP BY doc_id, isl
+                ) GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_chars,
+                   CAST(length(s.text) AS BIGINT) AS n_chars
+            FROM seeded s LEFT JOIN cov c USING (doc_id)
+        """,
         "line_dedup_cleaned": r"""
             WITH lined AS (
                 SELECT doc_id,

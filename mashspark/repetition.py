@@ -116,6 +116,72 @@ def top_ngram_stats(df: DataFrame, n: int = 2, id_col: str = "doc_id",
     )
 
 
+_DUP_NGRAM_SCHEMA = StructType([
+    StructField("covered_chars", LongType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def make_dup_ngram_coverage_udf(n: int):
+    """Struct(covered_chars, n_chars) per doc for the Gopher
+    duplicate-n-gram rule (Rae et al. 2021, A1: docs are dropped when
+    the fraction of characters inside DUPLICATED word n-grams exceeds
+    a per-n cap, n = 5..10).
+
+    covered_chars is the length of the UNION of character intervals
+    spanned by every occurrence of every n-gram that occurs more than
+    once in the doc (overlaps counted once — the standard reading);
+    n_chars is the doc length, so the rule is covered_chars/n_chars.
+    Tokens are \\S+ runs with their true character spans. Per-doc
+    local, Arrow-batched, map-only; integer outputs by design (exact
+    hash-compare vs a SQL oracle)."""
+    import re as _re
+
+    tok = _re.compile(r"\S+")
+
+    @pandas_udf(_DUP_NGRAM_SCHEMA)
+    def dup_ngram_udf(texts: pd.Series) -> pd.DataFrame:
+        covered_out, total_out = [], []
+        for t in texts.fillna(""):
+            s = str(t)
+            spans = [(m.start(), m.end()) for m in tok.finditer(s)]
+            words = [s[a:b] for a, b in spans]
+            occ: dict[tuple, list[int]] = {}
+            for i in range(len(words) - n + 1):
+                occ.setdefault(tuple(words[i:i + n]), []).append(i)
+            ivals = sorted(
+                (spans[i][0], spans[i + n - 1][1])
+                for poss in occ.values() if len(poss) > 1 for i in poss
+            )
+            covered = 0
+            cur_a, cur_b = None, -1
+            for a, b in ivals:
+                if cur_a is None or a > cur_b:
+                    if cur_a is not None:
+                        covered += cur_b - cur_a
+                    cur_a, cur_b = a, b
+                else:
+                    cur_b = max(cur_b, b)
+            if cur_a is not None:
+                covered += cur_b - cur_a
+            covered_out.append(covered)
+            total_out.append(len(s))
+        return pd.DataFrame({"covered_chars": covered_out,
+                             "n_chars": total_out})
+
+    return dup_ngram_udf
+
+
+def dup_ngram_coverage(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc duplicated-n-gram character coverage (Gopher A1,
+    n = 5..10): (id, covered_chars, n_chars)."""
+    u = make_dup_ngram_coverage_udf(n)
+    return df.select(F.col(id_col), u(F.col(text_col)).alias("s")).select(
+        id_col, "s.covered_chars", "s.n_chars"
+    )
+
+
 def _exploded_lines(df: DataFrame, id_col: str, text_col: str, sep: str):
     return df.select(
         F.col(id_col).alias("_doc"),

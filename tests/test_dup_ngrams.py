@@ -1,0 +1,55 @@
+"""Gopher duplicated-n-gram character coverage
+(repetition.dup_ngram_coverage) vs an independent set-of-positions
+reference."""
+
+import re
+
+from mashspark.repetition import dup_ngram_coverage
+
+
+def _py_coverage(text, n):
+    """Independent implementation: mark covered char positions in a
+    set (the UDF unions sorted intervals instead)."""
+    spans = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+    words = [text[a:b] for a, b in spans]
+    occ = {}
+    for i in range(len(words) - n + 1):
+        occ.setdefault(tuple(words[i:i + n]), []).append(i)
+    covered = set()
+    for poss in occ.values():
+        if len(poss) > 1:
+            for i in poss:
+                covered.update(range(spans[i][0], spans[i + n - 1][1]))
+    return len(covered), len(text)
+
+
+_DOCS = [
+    (1, "a b c d e x a b c d e y"),            # "a b c d e" twice
+    (2, "a b c d e f a b c d e f"),            # overlapping dup 5-grams
+    (3, "all words here are unique tokens ok"),
+    (4, "one two three four"),                  # shorter than n
+    (5, ""),
+    (6, "  p  q   r s t   p  q   r s t  "),    # irregular whitespace
+    (7, "z z z z z z z z z z"),                 # same word everywhere
+]
+
+
+def test_dup_ngram_coverage_matches_reference(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    for n in (5, 6):
+        got = {r["doc_id"]: (r["covered_chars"], r["n_chars"])
+               for r in dup_ngram_coverage(df, n=n).collect()}
+        want = {i: _py_coverage(t, n) for i, t in _DOCS}
+        assert got == want, n
+
+
+def test_dup_ngram_coverage_semantics(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["covered_chars"], r["n_chars"])
+           for r in dup_ngram_coverage(df, n=5).collect()}
+    # doc 1: both "a b c d e" spans covered = 9 + 9
+    assert got[1] == (18, 23)
+    # doc 3/4/5: nothing duplicated or too short
+    assert got[3][0] == 0 and got[4][0] == 0 and got[5] == (0, 0)
+    # doc 7: every 5-gram is "z z z z z" -> whole token region covered
+    assert got[7] == (19, 19)
