@@ -1461,6 +1461,19 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_bbit_dup_pairs(spark, sf_dir):
+    """b-bit minwise near-dup pairs (bbit.py, P=128, b=4) over docs
+    doc_id < 200, fixture-scoped all-pairs form. Rows-only: murmur-
+    based signatures are not SQL-expressible (the driver-sanctioned
+    convention for every sketch query); JVM-SWAR match counting and
+    estimator calibration are pytest-pinned (tests/test_bbit.py)."""
+    from mashspark.bbit import bbit_dup_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return bbit_dup_pairs(d, min_jaccard=0.35).select(
+        "id_a", "id_b", "n_matches")
+
+
 def _q_edit_dup_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs (editsim.edit_dup_pairs), fixture-
     scoped brute force (the production path is edit_verify_pairs over
@@ -1608,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
         "edit_dup_pairs": _q_edit_dup_pairs,
+        "bbit_dup_pairs": _q_bbit_dup_pairs,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
