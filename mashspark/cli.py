@@ -351,12 +351,24 @@ def cmd_route(spark: SparkSession, args) -> int:
     the head partition(s). Bucket 0 = closest to the reference
     register. --backoff N scores with the order-N Stupid Backoff model
     instead of the plain n-gram likelihood (sharper register signal;
-    see backoff.py)."""
+    see backoff.py); --kn scores with the interpolated Kneser-Ney
+    bigram LM (the KenLM-family smoother CCNet itself uses;
+    kneser.py)."""
     from .lm import perplexity_buckets, score_documents, unigram_counts
 
     docs = load_docs(spark, args.input)
     ref = load_docs(spark, args.ref) if args.ref else docs
-    if args.backoff:
+    if getattr(args, "kn", False):
+        from .kneser import score_kn, train_kn
+
+        scored = score_kn(
+            docs, train_kn(ref),
+            broadcast_model=not args.no_broadcast,
+        ).select(
+            "doc_id", F.col("n_bigrams").alias("n_tokens"),
+            F.col("logprob_per_bigram").alias("logprob_per_token"),
+        )
+    elif args.backoff:
         from .backoff import ngram_models, stupid_backoff_scores
 
         scored = stupid_backoff_scores(
@@ -496,6 +508,49 @@ def cmd_ingest(spark: SparkSession, args) -> int:
     n_url = out.select("url").distinct().count()
     print(json.dumps({"n_records": n, "n_distinct_urls": n_url,
                       "output": args.output}), file=sys.stderr)
+    return 0
+
+
+def cmd_clean(spark: SparkSession, args) -> int:
+    """C4/Gopher page cleaning (beyond the reference): the canonical
+    pre-dedup curation chain — optional Gopher page rules, C4 line +
+    page filters, CCNet boilerplate-line removal (--min-docs), and
+    corpus-global n-sentence-span dedup (--span-n) — writing the
+    cleaned corpus plus a funnel report of per-stage survivor counts.
+    Every stage is the scale-shaped operator from c4.py/repetition.py;
+    the composition adds joins on doc_id only."""
+    from .c4 import c4_line_filters, span_dedup
+
+    docs = load_docs(spark, args.input)
+    stages = {"input": docs.count()}
+    cur = docs
+    if args.gopher:
+        from .repetition import gopher_quality_flags
+
+        flags = gopher_quality_flags(cur, sep=args.sep)
+        cur = cur.join(flags.filter("keep").select("doc_id"), "doc_id")
+        stages["gopher"] = cur.count()
+    if not args.no_c4_lines:
+        lf = c4_line_filters(cur, sep=args.sep, min_words=args.min_words)
+        kept = lf.filter("keep_page").select(
+            "doc_id", F.col("cleaned").alias("text"))
+        cur = cur.drop("text").join(kept, "doc_id")
+        stages["c4_lines"] = cur.count()
+    if args.min_docs:
+        from .repetition import remove_boilerplate
+
+        rb = remove_boilerplate(cur, min_docs=args.min_docs, sep=args.sep)
+        cur = cur.drop("text").join(
+            rb.select("doc_id", F.col("cleaned").alias("text")), "doc_id")
+        stages["boilerplate"] = cur.count()
+    if args.span_n:
+        sd = span_dedup(cur, n=args.span_n, sep=args.sep)
+        cur = cur.drop("text").join(
+            sd.select("doc_id", F.col("cleaned").alias("text")), "doc_id")
+        stages["span_dedup"] = cur.count()
+    cur.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"funnel": stages, "output": args.output}),
+          file=sys.stderr)
     return 0
 
 
@@ -766,6 +821,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backoff", type=int, default=None, metavar="ORDER",
                    help="score with the order-N Stupid Backoff model "
                         "instead of the plain n-gram likelihood")
+    p.add_argument("--kn", action="store_true",
+                   help="score with the interpolated Kneser-Ney bigram "
+                        "LM (the KenLM-family smoother)")
     p.add_argument("--no-broadcast", action="store_true",
                    help="shuffle-join the model instead of broadcasting "
                         "(vocab larger than executor memory)")
@@ -825,6 +883,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "(gzip ok) with html->text extraction")
     p.add_argument("input", help="directory of crawl archive files")
     p.set_defaults(fn=cmd_ingest, min_copies=1)
+
+    p = sub.add_parser(
+        "clean",
+        help="C4/Gopher page cleaning + span dedup -> cleaned parquet")
+    p.add_argument("--sep", default="\n",
+                   help="line/sentence separator (default newline)")
+    p.add_argument("--min-words", type=int, default=5,
+                   help="C4 minimum words per kept line")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the Gopher page-quality rules first")
+    p.add_argument("--no-c4-lines", action="store_true",
+                   help="skip the C4 line/page filters")
+    p.add_argument("--min-docs", type=int, default=None,
+                   help="strip lines occurring in >= N docs (CCNet)")
+    p.add_argument("--span-n", type=int, default=None,
+                   help="global n-sentence-span dedup (C4, n=3 typical)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_clean, min_copies=1)
 
     p = sub.add_parser(
         "profile",

@@ -451,6 +451,56 @@ def test_cli_route_backoff(spark, docs_parquet, tmp_path, capsys):
         == [f"bucket={b}" for b in sorted(sizes)]
 
 
+def test_cli_route_kn(spark, docs_parquet, tmp_path, capsys):
+    """route --kn: Kneser-Ney-scored tier routing — every doc lands in
+    exactly one of 3 tiers."""
+    out = str(tmp_path / "routed_kn")
+    rc = cli.main(["route", "-b", "3", "--kn", "-o", out, docs_parquet])
+    assert rc == 0
+    sizes = json.loads(
+        capsys.readouterr().err.strip().splitlines()[-1])["bucket_sizes"]
+    assert spark.read.parquet(out).count() == 12
+    assert sum(sizes.values()) == 12
+
+
+def test_cli_clean_funnel(spark, tmp_path, capsys):
+    """clean: C4 line filters + boilerplate removal + span dedup over a
+    corpus with a shared boilerplate line and duplicated spans; the
+    funnel reports per-stage survivor counts and the output texts are
+    genuinely cleaned."""
+    from pyspark.sql import functions as F
+
+    mk = lambda *lines: "\n".join(lines)  # noqa: E731
+    boiler = "subscribe to our newsletter for more content updates."
+    good = [f"this is perfectly good sentence number {i} of the page."
+            for i in range(8)]
+    rows = [
+        (0, mk(good[0], good[1], good[2], boiler, good[3])),
+        (1, mk(good[0], good[1], good[2], boiler, good[4])),  # shares a 3-span with 0
+        (2, mk(good[5], boiler, good[6], good[7], "short.")),
+        (3, mk("tiny.", "no!", "meh?")),   # all lines fail min_words
+    ]
+    src = str(tmp_path / "dirty.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    rc = cli.main(["clean", "--min-docs", "3", "--span-n", "3",
+                   "-o", out, src])
+    assert rc == 0
+    funnel = json.loads(
+        capsys.readouterr().err.strip().splitlines()[-1])["funnel"]
+    assert funnel["input"] == 4
+    assert funnel["c4_lines"] == 3          # doc 3 dies (0 kept lines)
+    assert funnel["span_dedup"] == 3
+    back = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out).collect()}
+    # boilerplate line (3 docs) stripped everywhere
+    assert all(boiler not in t for t in back.values())
+    # doc 0 keeps its span; doc 1 lost the duplicated 3-line span
+    assert good[0] in back[0] and good[0] not in back[1]
+    assert good[4] in back[1]
+
+
 def test_cli_diff_snapshot_delta(spark, tmp_path, capsys):
     """diff: added/removed/changed counts on a tiny two-snapshot pair;
     only the delta is written."""
