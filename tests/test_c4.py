@@ -157,6 +157,18 @@ def test_span_dedup_matches_reference(spark):
     assert got[15] == (4, 4, "unique\nlines\nonly\nhere")
 
 
+def test_span_dedup_plan_guards(spark):
+    """The span-dedup physical plan must contain no window function
+    (the winner is a min(struct) aggregate with map-side partials) and
+    no cartesian/broadcast-nested-loop join (every join is an
+    equi-join)."""
+    df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+    plan = span_dedup(df, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("n_parts", [1, 7])
 def test_span_dedup_partition_invariant(spark, n_parts):
     df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string") \

@@ -171,9 +171,22 @@ def main() -> None:
     ]
     for title, why, text in sections:
         out += [f"## {title}", "", why, "", "```", text.rstrip(), "```", ""]
-    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+    # hand-audited sections (appended per-operator during builds) live
+    # below a marker line: regeneration must never clobber them
+    marker = ("<!-- hand-audited sections below; tools/dump_plans.py "
+              "preserves everything after this line -->\n")
+    path = os.path.join(REPO, "PLANS.md")
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    with open(path, "w") as fh:
         fh.write("\n".join(out))
-    print("PLANS.md written")
+        if tail:
+            fh.write("\n" + tail)
+    print("PLANS.md written" + (" (hand-audited tail preserved)" if tail
+                                else ""))
     spark.stop()
 
 
