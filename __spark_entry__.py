@@ -1461,6 +1461,22 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_dedup_tier_counts(spark, sf_dir):
+    """Tiered dedup report (pipeline.dedup_tiers) over the self-seeded
+    corpus (50 byte-identical copies injected, near-dup families
+    natural): docs per (tier, is_rep). Rows-only: the near tier is
+    murmur/LSH-based; tier precedence and rep consistency are
+    pytest-pinned (tests/test_tiers.py)."""
+    from mashspark.params import PipelineConfig, SketchParams
+    from mashspark.pipeline import dedup_tiers
+
+    cfg = PipelineConfig(sketch=SketchParams(k=21, s=512, seed=42),
+                         jaccard_threshold=0.7)
+    tiers = dedup_tiers(_seeded_docs(spark, sf_dir), config=cfg)
+    return tiers.groupBy("tier", "is_rep").agg(
+        F.count("*").alias("n_docs"))
+
+
 def _q_bbit_dup_pairs(spark, sf_dir):
     """b-bit minwise near-dup pairs (bbit.py, P=128, b=4) over docs
     doc_id < 200, fixture-scoped all-pairs form. Rows-only: murmur-
@@ -1622,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backoff_hit_orders": _q_backoff_hit_orders,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "bbit_dup_pairs": _q_bbit_dup_pairs,
+        "dedup_tier_counts": _q_dedup_tier_counts,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,

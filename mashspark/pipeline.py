@@ -343,6 +343,85 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
     )
 
 
+def dedup_tiers(docs: DataFrame, clusters: DataFrame | None = None,
+                config: PipelineConfig | None = None,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tiered dedup report: label every doc with the STRICTEST tier at
+    which it duplicates another doc, plus its group representative —
+    the per-corpus summary a curation run reads before deciding how
+    aggressively to collapse.
+
+    Tiers, strictest first (a doc gets the first that applies):
+
+    - ``exact``      byte-identical text (md5 groups; null == '' by
+                     coalesce, documented rather than silently assumed)
+    - ``canonical``  identical after `normalize.canonical_text` (case/
+                     punctuation/digit-masking invariant)
+    - ``near``       same verified LSH cluster (Mash-exact Jaccard >=
+                     the config threshold, `dedup_pipeline` semantics)
+    - ``unique``     none of the above
+
+    Output: (id, tier, rep_id, is_rep) for every input doc; reps of
+    multi-doc groups carry their group's tier with ``is_rep = true``
+    (so "docs removable at tier <= T" = rows with tier <= T and NOT
+    is_rep).
+
+    Scale shape: the exact and canonical passes are the same 16 B
+    fingerprint groupBy+join-back as their standalone operators; the
+    near tier reuses ``clusters`` when the caller already ran the
+    pipeline (the common case — pass ``DedupResult.clusters``),
+    otherwise runs ``dedup_pipeline`` once. The tier resolution itself
+    is three LEFT equi-joins on doc_id and one CASE — no new shuffle
+    shapes.
+    """
+    from mashspark.normalize import canonical_dup_groups
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)
+                       .alias("text"))
+
+    def multi_groups(members: DataFrame) -> DataFrame:
+        sizes = members.groupBy("rep_id").agg(F.count("*").alias("_n"))
+        return (members.join(sizes.filter(F.col("_n") > 1), "rep_id")
+                .select("doc_id", "rep_id"))
+
+    e_members = (
+        base.select("doc_id",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_fp"))
+        .join(
+            base.select(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                        .alias("_fp"), F.col("doc_id").alias("rep_id"))
+            .groupBy("_fp").agg(F.min("rep_id").alias("rep_id")),
+            "_fp")
+        .select("doc_id", "rep_id")
+    )
+    exact = multi_groups(e_members).withColumnRenamed("rep_id", "_e_rep")
+    canon = multi_groups(canonical_dup_groups(base)) \
+        .withColumnRenamed("rep_id", "_c_rep")
+    if clusters is None:
+        clusters = dedup_pipeline(base, config).clusters
+    near = multi_groups(
+        clusters.select("doc_id", F.col("cluster_id").alias("rep_id"))
+    ).withColumnRenamed("rep_id", "_n_rep")
+
+    out = (
+        base.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    tier = (
+        F.when(F.col("_e_rep").isNotNull(), F.lit("exact"))
+        .when(F.col("_c_rep").isNotNull(), F.lit("canonical"))
+        .when(F.col("_n_rep").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    rep = F.coalesce("_e_rep", "_c_rep", "_n_rep", "doc_id")
+    return out.select(
+        "doc_id", tier.alias("tier"), rep.alias("rep_id"),
+        (rep == F.col("doc_id")).alias("is_rep"),
+    ).withColumnRenamed("doc_id", id_col)
+
+
 def select_representatives(clusters: DataFrame, scores: DataFrame,
                            id_col: str = "doc_id",
                            cluster_col: str = "cluster_id",
