@@ -111,6 +111,22 @@ def c4_line_filters(
     )
 
 
+def split_sentences(text_col, newline_out: bool = True):
+    """Sentence segmentation as a pure column expression: break after a
+    terminal punctuation run followed by whitespace (Java-regex
+    lookbehind, so the punctuation stays with its sentence). Returns
+    the text with sentence breaks re-joined by newline (``newline_out``,
+    ready for the ``sep='\\n'`` operators) or the raw array.
+
+    NOT oracle-checkable (RE2-based engines lack lookbehind — the
+    reason the span/line operators take a separator instead of
+    hard-wiring this); pinned by pytest. A production pipeline with a
+    trained segmenter plugs in upstream and feeds the same operators.
+    """
+    arr = F.split(text_col, r'(?<=[.!?]["\')\]]?)\s+')
+    return F.array_join(arr, "\n") if newline_out else arr
+
+
 def span_occurrences(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                      text_col: str = "text", sep: str = "\n") -> DataFrame:
     """(id, pos, span_md5) for every n-unit sliding window of every doc

@@ -554,6 +554,33 @@ def cmd_clean(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_tiers(spark: SparkSession, args) -> int:
+    """Tiered dedup report (beyond the reference): label every doc with
+    the strictest tier at which it duplicates another (exact >
+    canonical > near > unique) plus its group representative; write the
+    per-doc report parquet and print per-tier counts. The decision
+    artifact a curation run reads before choosing how aggressively to
+    collapse."""
+    from .params import PipelineConfig, SketchParams
+    from .pipeline import dedup_tiers
+
+    docs = load_docs(spark, args.input)
+    cfg = PipelineConfig(
+        sketch=SketchParams(k=args.kmer, s=args.sketch_size, seed=args.seed),
+        jaccard_threshold=args.threshold,
+    )
+    tiers = dedup_tiers(docs, config=cfg)
+    tiers.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    counts = {f"{r['tier']}{'_rep' if r['is_rep'] else ''}": int(r["n"])
+              for r in back.groupBy("tier", "is_rep")
+              .agg(F.count("*").alias("n")).collect()}
+    removable = back.filter("NOT is_rep").count()
+    print(json.dumps({"tier_counts": counts, "removable_docs": removable,
+                      "output": args.output}), file=sys.stderr)
+    return 0
+
+
 def cmd_profile(spark: SparkSession, args) -> int:
     """Corpus composition report (the webtext `mash info`): global
     summary JSON to stderr + per-stratum profile parquet (exact
@@ -883,6 +910,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(gzip ok) with html->text extraction")
     p.add_argument("input", help="directory of crawl archive files")
     p.set_defaults(fn=cmd_ingest, min_copies=1)
+
+    p = sub.add_parser(
+        "tiers",
+        help="tiered dedup report: strictest dup tier + rep per doc")
+    p.add_argument("-k", "--kmer", type=int, default=21)
+    p.add_argument("-s", "--sketch-size", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-t", "--threshold", type=float, default=0.7,
+                   help="near-tier verified Jaccard threshold")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_tiers, min_copies=1)
 
     p = sub.add_parser(
         "clean",

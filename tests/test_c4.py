@@ -157,6 +157,26 @@ def test_span_dedup_matches_reference(spark):
     assert got[15] == (4, 4, "unique\nlines\nonly\nhere")
 
 
+def test_split_sentences(spark):
+    from mashspark.c4 import split_sentences
+
+    rows = [(1, 'First sentence. Second one! A "quoted end."  Third? done'),
+            (2, "no terminal punctuation here at all"),
+            (3, "Abbrev limits apply e.g. this splits. By design.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", split_sentences(F.col("text")).alias("s"))
+           .collect()}
+    assert got[1] == 'First sentence.\nSecond one!\nA "quoted end."\nThird?\ndone'
+    assert got[2] == "no terminal punctuation here at all"
+    # documented limitation: abbreviation periods split too
+    assert got[3] == "Abbrev limits apply e.g.\nthis splits.\nBy design."
+    # composes with span_dedup: sentence-level spans out of the box
+    sent = df.select("doc_id", split_sentences(F.col("text")).alias("text"))
+    out = span_dedup(sent, n=2)
+    assert out.count() == 3
+
+
 def test_span_dedup_plan_guards(spark):
     """The span-dedup physical plan must contain no window function
     (the winner is a min(struct) aggregate with map-side partials) and

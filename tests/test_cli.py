@@ -501,6 +501,22 @@ def test_cli_clean_funnel(spark, tmp_path, capsys):
     assert good[4] in back[1]
 
 
+def test_cli_tiers_report(spark, docs_parquet, tmp_path, capsys):
+    """tiers: the docs_parquet fixture has 6 exact-duplicate pairs
+    (ids 6..11 copy 0..5), so the exact tier is non-empty and every
+    doc appears exactly once in the report."""
+    out = str(tmp_path / "tiers")
+    rc = cli.main(["tiers", "-s", "256", "-o", out, docs_parquet])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert sum(info["tier_counts"].values()) == 12
+    assert info["tier_counts"].get("exact_rep", 0) == 6
+    assert info["tier_counts"].get("exact", 0) == 6
+    assert info["removable_docs"] == 6
+    back = spark.read.parquet(out)
+    assert back.count() == 12 and back.select("doc_id").distinct().count() == 12
+
+
 def test_cli_diff_snapshot_delta(spark, tmp_path, capsys):
     """diff: added/removed/changed counts on a tiny two-snapshot pair;
     only the delta is written."""
