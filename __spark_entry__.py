@@ -228,6 +228,16 @@ def _q_top_ngram_stats(spark, sf_dir):
     return top_ngram_stats(_docs(spark, sf_dir), n=2)
 
 
+def _q_compression_stats(spark, sf_dir):
+    """zlib compression-ratio quality signal
+    (repetition.compression_stats). Rows-only: DuckDB has no zlib
+    scalar; bit-exactness vs direct zlib and partition invariance are
+    pytest-pinned (tests/test_dup_ngrams.py)."""
+    from mashspark.repetition import compression_stats
+
+    return compression_stats(_docs(spark, sf_dir))
+
+
 def _q_dup_ngram_coverage(spark, sf_dir):
     """Gopher duplicated-5-gram character coverage
     (repetition.dup_ngram_coverage). The fixture has zero natural
@@ -1579,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "top_ngram_stats": _q_top_ngram_stats,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "compression_stats": _q_compression_stats,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
         "c4_line_filters": _q_c4_line_filters,
         "c4_span_dedup": _q_c4_span_dedup,

@@ -43,6 +43,30 @@ def test_dup_ngram_coverage_matches_reference(spark):
         assert got == want, n
 
 
+def test_compression_stats(spark):
+    """zlib compression signal: exact vs direct zlib, repetitive text
+    compresses much harder than varied text, and deterministic across
+    partitionings."""
+    import zlib
+
+    from mashspark.repetition import compression_stats
+
+    docs = [
+        (1, "spam " * 400),
+        (2, " ".join(f"w{i}x{i * 7 % 113}" for i in range(400))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n_parts in (1, 4):
+        got = {r["doc_id"]: (r["n_bytes"], r["n_compressed"]) for r in
+               compression_stats(df.repartition(n_parts)).collect()}
+        want = {i: (len(t.encode()), len(zlib.compress(t.encode(), 6)))
+                for i, t in docs}
+        assert got == want
+    ratio = {i: c / max(b, 1) for i, (b, c) in got.items()}
+    assert ratio[1] < 0.05 < ratio[2]
+
+
 def test_dup_ngram_coverage_semantics(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     got = {r["doc_id"]: (r["covered_chars"], r["n_chars"])
