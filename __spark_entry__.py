@@ -1471,6 +1471,19 @@ def _q_dsir_hashed_scores(spark, sf_dir):
     ).select("doc_id", "n_tokens", "sum_count_target", "sum_count_source")
 
 
+def _q_topic_counts(spark, sf_dir):
+    """Unsupervised topic clustering (topics.py: hashing-TF -> IVF
+    Lloyd): docs per discovered topic (k=4). Rows-only: murmur
+    bucketing + float Lloyd; family separation and assignment
+    determinism are pytest-pinned (tests/test_topics.py)."""
+    from mashspark.topics import assign_topics, topic_model
+
+    docs = _docs(spark, sf_dir)
+    cent = topic_model(docs, n_topics=4, dim=128, n_iters=3)
+    return assign_topics(docs, cent).groupBy("topic").agg(
+        F.count("*").alias("n_docs"))
+
+
 def _q_dedup_tier_counts(spark, sf_dir):
     """Tiered dedup report (pipeline.dedup_tiers) over the self-seeded
     corpus (50 byte-identical copies injected, near-dup families
@@ -1650,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dup_pairs": _q_edit_dup_pairs,
         "bbit_dup_pairs": _q_bbit_dup_pairs,
         "dedup_tier_counts": _q_dedup_tier_counts,
+        "topic_counts": _q_topic_counts,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
