@@ -228,6 +228,28 @@ def _q_top_ngram_stats(spark, sf_dir):
     return top_ngram_stats(_docs(spark, sf_dir), n=2)
 
 
+def _q_gopher_line_format(spark, sf_dir):
+    """Gopher bullet/ellipsis page-format rules
+    (repetition.gopher_line_format_flags) over the lined view with
+    deterministic seeding — every pos%3==0 line gets a '- ' bullet
+    prefix and every pos%5==0 line an '...' suffix (mirrored in the
+    oracle), so counts, fractions, and both keep branches are
+    exercised."""
+    from mashspark.repetition import gopher_line_format_flags
+
+    lined = _lined_docs(spark, sf_dir)
+    arr = F.split(F.col("text"), "\n")
+
+    def seed(x, i):
+        base = F.when(i % 3 == 0, F.concat(F.lit("- "), x)).otherwise(x)
+        return F.when(i % 5 == 0, F.concat(base, F.lit("..."))) \
+            .otherwise(base)
+
+    seeded = F.array_join(F.transform(arr, seed), "\n")
+    return gopher_line_format_flags(
+        lined.select("doc_id", seeded.alias("text")))
+
+
 def _q_compression_stats(spark, sf_dir):
     """zlib compression-ratio quality signal
     (repetition.compression_stats). Rows-only: DuckDB has no zlib
@@ -1603,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": _q_top_ngram_stats,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "compression_stats": _q_compression_stats,
+        "gopher_line_format": _q_gopher_line_format,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
         "c4_line_filters": _q_c4_line_filters,
         "c4_span_dedup": _q_c4_span_dedup,
@@ -2532,6 +2555,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CCNet line dedup oracle: exact line strings stand in for the
         # engine's xxhash64 keys (identical absent 64-bit collisions)
+        # independent DuckDB reimplementation of
+        # repetition.gopher_line_format_flags over the same seeded view
+        "gopher_line_format": """
+            WITH lined AS (
+                SELECT doc_id,
+                       string_split(replace(text, ' table ', chr(10)),
+                                    chr(10)) AS raw
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id,
+                       CASE WHEN (u.idx - 1) % 5 = 0 THEN
+                           (CASE WHEN (u.idx - 1) % 3 = 0
+                                 THEN '- ' || u.line ELSE u.line END)
+                           || '...'
+                       ELSE
+                           CASE WHEN (u.idx - 1) % 3 = 0
+                                THEN '- ' || u.line ELSE u.line END
+                       END AS line
+                FROM lined,
+                     LATERAL (SELECT unnest(raw) AS line,
+                                     generate_subscripts(raw, 1) AS idx) AS u
+            ),
+            agg AS (
+                SELECT doc_id,
+                       count(*) AS n_lines,
+                       sum(CASE WHEN substr(ltrim(line), 1, 1)
+                                IN ('•', '-', '*') THEN 1 ELSE 0 END) AS nb,
+                       sum(CASE WHEN rtrim(line) LIKE '%...'
+                                  OR rtrim(line) LIKE '%…'
+                                THEN 1 ELSE 0 END) AS ne
+                FROM ex GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(nb AS BIGINT) AS n_bullet_lines,
+                   CAST(ne AS BIGINT) AS n_ellipsis_lines,
+                   round(nb / greatest(n_lines, 1), 6) AS bullet_frac,
+                   round(ne / greatest(n_lines, 1), 6) AS ellipsis_frac,
+                   (round(nb / greatest(n_lines, 1), 6) <= 0.90
+                    AND round(ne / greatest(n_lines, 1), 6) <= 0.30)
+                       AS keep
+            FROM agg
+        """,
         # independent DuckDB reimplementation of
         # repetition.dup_ngram_coverage (n=5) over the same seeded
         # view: cumulative single-space offsets, lead-window 5-grams,

@@ -182,6 +182,44 @@ def dup_ngram_coverage(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     )
 
 
+def gopher_line_format_flags(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", sep: str = "\n",
+                             max_bullet_frac: float = 0.90,
+                             max_ellipsis_frac: float = 0.30) -> DataFrame:
+    """The remaining Gopher A1 page-format rules (Rae et al. 2021):
+    drop pages where more than ``max_bullet_frac`` of lines start with
+    a bullet mark (• - *) or more than ``max_ellipsis_frac`` end with
+    an ellipsis. Pure codegen array expressions — map-only, fuses into
+    the scan like ``gopher_quality_flags`` (kept separate so each
+    rule-set stays independently composable and oracle-checked).
+
+    Returns (id, n_lines, n_bullet_lines, n_ellipsis_lines,
+    bullet_frac, ellipsis_frac, keep); fractions rounded to 6 places
+    for oracle reproducibility.
+    """
+    lines = _line_array(F.col(text_col), sep)
+    bullet = F.filter(
+        lines,
+        lambda x: F.substring(F.ltrim(x), 1, 1).isin("•", "-", "*"),
+    )
+    ellipsis = F.filter(
+        lines,
+        lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+    )
+    n, nb, ne = F.size(lines), F.size(bullet), F.size(ellipsis)
+    bf = F.round(nb / F.greatest(n, F.lit(1)), 6)
+    ef = F.round(ne / F.greatest(n, F.lit(1)), 6)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        nb.cast("long").alias("n_bullet_lines"),
+        ne.cast("long").alias("n_ellipsis_lines"),
+        bf.alias("bullet_frac"),
+        ef.alias("ellipsis_frac"),
+        ((bf <= max_bullet_frac) & (ef <= max_ellipsis_frac)).alias("keep"),
+    )
+
+
 _COMPRESSION_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("n_compressed", LongType()),

@@ -43,6 +43,30 @@ def test_dup_ngram_coverage_matches_reference(spark):
         assert got == want, n
 
 
+def test_gopher_line_format_flags(spark):
+    from mashspark.repetition import gopher_line_format_flags
+
+    rows = [
+        (1, "- item one\n- item two\n- item three\nprose line"),  # 75% bullets
+        (2, "tail line goes on...\nand on…\nnormal\nnormal2\nnormal3"),
+        (3, "• a\n* b\n- c"),                       # 100% bullets -> drop
+        (4, "x...\ny...\nz"),                        # 67% ellipsis -> drop
+        (5, "plain\nlines\nonly"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_line_format_flags(df).collect()}
+    assert got[1]["n_bullet_lines"] == 3 and got[1]["keep"]
+    assert got[2]["n_ellipsis_lines"] == 2 and not got[2]["keep"]  # 0.4 > 0.3
+    assert got[3]["bullet_frac"] == 1.0 and not got[3]["keep"]
+    assert not got[4]["keep"]
+    assert got[5]["keep"] and got[6]["keep"]
+    # map-only: no shuffle in the plan
+    plan = gopher_line_format_flags(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_compression_stats(spark):
     """zlib compression signal: exact vs direct zlib, repetitive text
     compresses much harder than varied text, and deterministic across
