@@ -228,6 +228,16 @@ def _q_top_ngram_stats(spark, sf_dir):
     return top_ngram_stats(_docs(spark, sf_dir), n=2)
 
 
+def _q_frequent_ngrams(spark, sf_dir):
+    """Corpus-level frequent-3-gram report
+    (repetition.frequent_ngrams, threshold mode — tie-free, so fully
+    oracle-checkable): 3-grams appearing in >= 5 distinct docs (151
+    naturally at sf0.01, max doc-frequency 7)."""
+    from mashspark.repetition import frequent_ngrams
+
+    return frequent_ngrams(_docs(spark, sf_dir), n=3, min_count=5)
+
+
 def _q_gopher_line_format(spark, sf_dir):
     """Gopher bullet/ellipsis page-format rules
     (repetition.gopher_line_format_flags) over the lined view with
@@ -1626,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "compression_stats": _q_compression_stats,
         "gopher_line_format": _q_gopher_line_format,
+        "frequent_ngrams": _q_frequent_ngrams,
         "line_dedup_cleaned": _q_line_dedup_cleaned,
         "c4_line_filters": _q_c4_line_filters,
         "c4_span_dedup": _q_c4_span_dedup,
@@ -2555,6 +2566,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CCNet line dedup oracle: exact line strings stand in for the
         # engine's xxhash64 keys (identical absent 64-bit collisions)
+        # independent DuckDB reimplementation of
+        # repetition.frequent_ngrams (n=3, by_docs, min_count=5)
+        "frequent_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ws[CAST(i AS INT)] || ' ' ||
+                       ws[CAST(i AS INT)+1] || ' ' ||
+                       ws[CAST(i AS INT)+2] AS g
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                      FROM toks)
+            )
+            SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM grams GROUP BY g HAVING count(*) >= 5
+        """,
         # independent DuckDB reimplementation of
         # repetition.gopher_line_format_flags over the same seeded view
         "gopher_line_format": """

@@ -116,6 +116,73 @@ def top_ngram_stats(df: DataFrame, n: int = 2, id_col: str = "doc_id",
     )
 
 
+def _word_ngrams(text_col, n: int):
+    """Whitespace word n-grams as a JVM array transform (map-only)."""
+    ws = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+    if n == 1:
+        return ws
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int"))
+                   for j in range(n)]),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def frequent_ngrams(df: DataFrame, n: int = 3, top_k: int = 100,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    by_docs: bool = True,
+                    min_count: int | None = None) -> DataFrame:
+    """Corpus-level frequent word-n-gram report: the top ``top_k``
+    n-grams by distinct-document frequency (``by_docs``, the
+    boilerplate signal) or by raw occurrence count — what an operator
+    eyeballs before choosing the line-dedup ``min_docs`` or a
+    stop-span blocklist.
+
+    Scale shape (two passes, heavy strings never corpus-shuffle):
+
+    1. Count by the 8-byte ``xxhash64`` of the gram — (hash, count)
+       with map-side partial aggregation, so a boilerplate gram in
+       10^9 docs collapses per map task; ``by_docs`` inserts a
+       (doc, hash) distinct first (also map-side partial). The top-k
+       cut is an ordered limit (TakeOrderedAndProject — never a
+       global sort).
+    2. Recover the winners' TEXT by re-deriving grams and
+       broadcast-semi-joining against the top-k hash set, then
+       distinct over the (tiny) surviving gram strings.
+
+    Returns (ngram, n_docs|n_occurrences) ordered by count desc then
+    gram asc. ``min_count`` switches the cut from top-k to a count
+    threshold — tie-free (the top-k boundary otherwise breaks ties in
+    hash order), exactly reproducible by any engine, and the form a
+    production blocklist job uses. 64-bit gram collisions would merge
+    two grams' counts with probability ~n_distinct^2 * 2^-65 —
+    negligible and noted, as everywhere else this trick is used.
+    """
+    metric = "n_docs" if by_docs else "n_occurrences"
+    exploded = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hashed = exploded.select("_doc", F.xxhash64("gram").alias("_h"))
+    if by_docs:
+        hashed = hashed.distinct()
+    counted = hashed.groupBy("_h").agg(F.count("*").alias(metric))
+    if min_count is not None:
+        top = counted.filter(F.col(metric) >= min_count)
+    else:
+        top = counted.orderBy(F.desc(metric), F.asc("_h")).limit(top_k)
+    named = (
+        exploded.select("gram", F.xxhash64("gram").alias("_h")).distinct()
+        .join(F.broadcast(top), "_h")
+        .select(F.col("gram").alias("ngram"), metric)
+    )
+    out = named.orderBy(F.desc(metric), F.asc("ngram"))
+    return out if min_count is not None else out.limit(top_k)
+
+
 _DUP_NGRAM_SCHEMA = StructType([
     StructField("covered_chars", LongType()),
     StructField("n_chars", LongType()),

@@ -43,6 +43,44 @@ def test_dup_ngram_coverage_matches_reference(spark):
         assert got == want, n
 
 
+def test_frequent_ngrams(spark):
+    from collections import Counter
+
+    from mashspark.repetition import frequent_ngrams
+
+    rows = [
+        (1, "subscribe to our newsletter now please and thanks"),
+        (2, "subscribe to our newsletter now or maybe later"),
+        (3, "subscribe to our newsletter now " * 3 + "tail words here"),
+        (4, "totally unrelated content with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_counts(n, by_docs):
+        c = Counter()
+        for i, t in rows:
+            ws = t.lower().split()
+            grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+            c.update(set(grams) if by_docs else grams)
+        return c
+
+    # doc-frequency mode, threshold cut (tie-free, oracle form)
+    got = {r["ngram"]: r["n_docs"] for r in
+           frequent_ngrams(df, n=3, min_count=2).collect()}
+    want = {g: c for g, c in py_counts(3, True).items() if c >= 2}
+    assert got == want
+    assert got["subscribe to our"] == 3
+    # occurrence mode counts repeats within a doc
+    occ = {r["ngram"]: r["n_occurrences"] for r in
+           frequent_ngrams(df, n=3, by_docs=False, min_count=3).collect()}
+    assert occ["subscribe to our"] == 5  # 1 + 1 + 3
+    # top-k mode returns exactly k rows, count-descending
+    top = frequent_ngrams(df, n=3, top_k=5).collect()
+    assert len(top) == 5
+    assert [r["n_docs"] for r in top] == sorted(
+        [r["n_docs"] for r in top], reverse=True)
+
+
 def test_gopher_line_format_flags(spark):
     from mashspark.repetition import gopher_line_format_flags
 
