@@ -1615,59 +1615,19 @@ def _q_unigram_encoded_lengths(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract registry, ordered so a driver that verifies a prefix of the
+    dict sees maximal oracle coverage:
+
+    tier 1 — oracle-backed queries that had no driver CORRECTNESS row as
+             of round 3 (registry position > 50 then);
+    tier 2 — queries converted from rows-only to oracle-backed in round 4
+             (seeded expected-output parquet, see ``_seed_expected``);
+    tier 3 — oracle-backed queries already driver-green in round 3;
+    tier 4 — rows-only queries (no SQL-expressible oracle).
+    """
     return {
-        "doc_stats": _q_doc_stats,
-        "exact_dup_groups": _q_exact_dup_groups,
-        "exact_dup_pairs": _q_exact_dup_pairs,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality_scores,
-        "shingle_cardinality": _q_shingle_cardinality,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_distribution": _q_lang_distribution,
-        "lang_id_pred": _q_lang_id_pred,
-        "fingerprint_group_sizes": _q_fingerprint_group_sizes,
-        "knn_topk": _q_knn_topk,
-        "ivf_knn": _q_ivf_knn,
-        "pq_codes": _q_pq_codes,
-        "pq_knn": _q_pq_knn,
-        "ivfpq_knn": _q_ivfpq_knn,
-        "repetition_signals": _q_repetition_signals,
-        "top_ngram_stats": _q_top_ngram_stats,
-        "dup_ngram_coverage": _q_dup_ngram_coverage,
-        "compression_stats": _q_compression_stats,
-        "gopher_line_format": _q_gopher_line_format,
-        "frequent_ngrams": _q_frequent_ngrams,
-        "line_dedup_cleaned": _q_line_dedup_cleaned,
-        "c4_line_filters": _q_c4_line_filters,
-        "c4_span_dedup": _q_c4_span_dedup,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "gopher_quality_flags": _q_gopher_quality_flags,
-        "contamination_flags": _q_contamination_flags,
-        "pack_layout": _q_pack_layout,
-        "domain_stats": _q_domain_stats,
-        "chunk_members": _q_chunk_members,
-        "curation_funnel": _q_curation_funnel,
-        "minhash_cluster_sizes": _q_minhash_cluster_sizes,
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
-        "sketch_cardinalities": _q_sketch_cardinalities,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "semantic_dup_clusters": _q_semantic_dup_clusters,
-        "text_vector_dup_groups": _q_text_vector_dup_groups,
-        "srp_bucket_stats": _q_srp_bucket_stats,
-        "screen_boilerplate": _q_screen_boilerplate,
-        "count_histogram": _q_count_histogram,
-        "coverage_estimates": _q_coverage_estimates,
-        "paste_sketch_sizes": _q_paste_sketch_sizes,
-        "containment_pairs": _q_containment_pairs,
-        "screen_wta": _q_screen_wta,
-        "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
-        "substring_removal": _q_substring_removal,
-        "streaming_dedup_decisions": _q_streaming_dedup_decisions,
-        "best_k_hits": _q_best_k_hits,
-        "media_payload_stats": _q_media_payload_stats,
+        # ---- tier 1: oracle-backed, driver-dark in round 3 -------------
         "video_frame_samples": _q_video_frame_samples,
-        "media_phash_dup_pairs": _q_media_phash_dup_pairs,
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -1681,23 +1641,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_doc_scores": _q_bigram_doc_scores,
         "lm_perplexity_buckets": _q_lm_perplexity_buckets,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "quality_classifier_preds": _q_quality_classifier_preds,
-        "cross_dedup_decisions": _q_cross_dedup_decisions,
         "cluster_representatives": _q_cluster_representatives,
         "epoch_shuffle_keys": _q_epoch_shuffle_keys,
         "bloom_cross_flags": _q_bloom_cross_flags,
         "dsir_ratio_scores": _q_dsir_ratio_scores,
-        "bpe_trained_merges": _q_bpe_trained_merges,
-        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "unigram_seed_counts": _q_unigram_seed_counts,
-        "unigram_encoded_lengths": _q_unigram_encoded_lengths,
         "canonical_dup_groups": _q_canonical_dup_groups,
         "corpus_profile": _q_corpus_profile,
         "backoff_hit_orders": _q_backoff_hit_orders,
         "edit_dup_pairs": _q_edit_dup_pairs,
-        "bbit_dup_pairs": _q_bbit_dup_pairs,
-        "dedup_tier_counts": _q_dedup_tier_counts,
-        "topic_counts": _q_topic_counts,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_continuation_counts": _q_kn_continuation_counts,
         "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
@@ -1708,6 +1660,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_assign": _q_leakage_split_assign,
         "latest_url_snapshots": _q_latest_url_snapshots,
         "snapshot_diff": _q_snapshot_diff,
+        # ---- tier 2: converted rows-only -> seeded-expected oracle -----
+        "minhash_cluster_sizes": _q_minhash_cluster_sizes,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "sketch_cardinalities": _q_sketch_cardinalities,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "screen_wta": _q_screen_wta,
+        "substring_removal": _q_substring_removal,
+        "streaming_dedup_decisions": _q_streaming_dedup_decisions,
+        "text_vector_dup_groups": _q_text_vector_dup_groups,
+        "srp_bucket_stats": _q_srp_bucket_stats,
+        "screen_boilerplate": _q_screen_boilerplate,
+        "media_phash_dup_pairs": _q_media_phash_dup_pairs,
+        "bbit_dup_pairs": _q_bbit_dup_pairs,
+        "dedup_tier_counts": _q_dedup_tier_counts,
+        "bpe_trained_merges": _q_bpe_trained_merges,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
+        "unigram_encoded_lengths": _q_unigram_encoded_lengths,
+        # ---- tier 3: oracle-backed, driver-green in round 3 -------------
+        "doc_stats": _q_doc_stats,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dup_pairs": _q_exact_dup_pairs,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "shingle_cardinality": _q_shingle_cardinality,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_distribution": _q_lang_distribution,
+        "lang_id_pred": _q_lang_id_pred,
+        "fingerprint_group_sizes": _q_fingerprint_group_sizes,
+        "knn_topk": _q_knn_topk,
+        "ivf_knn": _q_ivf_knn,
+        "pq_codes": _q_pq_codes,
+        "repetition_signals": _q_repetition_signals,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "gopher_line_format": _q_gopher_line_format,
+        "frequent_ngrams": _q_frequent_ngrams,
+        "line_dedup_cleaned": _q_line_dedup_cleaned,
+        "c4_line_filters": _q_c4_line_filters,
+        "c4_span_dedup": _q_c4_span_dedup,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "gopher_quality_flags": _q_gopher_quality_flags,
+        "contamination_flags": _q_contamination_flags,
+        "pack_layout": _q_pack_layout,
+        "domain_stats": _q_domain_stats,
+        "chunk_members": _q_chunk_members,
+        "curation_funnel": _q_curation_funnel,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "semantic_dup_clusters": _q_semantic_dup_clusters,
+        "count_histogram": _q_count_histogram,
+        "coverage_estimates": _q_coverage_estimates,
+        "paste_sketch_sizes": _q_paste_sketch_sizes,
+        "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
+        "best_k_hits": _q_best_k_hits,
+        "media_payload_stats": _q_media_payload_stats,
+        # ---- tier 4: rows-only (no SQL-expressible oracle) ---------------
+        "pq_knn": _q_pq_knn,
+        "ivfpq_knn": _q_ivfpq_knn,
+        "compression_stats": _q_compression_stats,
+        "quality_classifier_preds": _q_quality_classifier_preds,
+        "cross_dedup_decisions": _q_cross_dedup_decisions,
+        "topic_counts": _q_topic_counts,
     }
 
 
