@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import oracle_expected as _oe
 from mashspark.params import LSHParams, PipelineConfig, SketchParams
 from mashspark.pipeline import dedup_pipeline
 
@@ -28,6 +29,16 @@ _PUNCT = ".,!?;:"
 
 # pipeline results are reused by several queries; memoize per (app, sf_dir)
 _PIPELINE_CACHE: dict = {}
+
+
+def _seed(name: str, sf_dir: str) -> None:
+    """Write the seeded expected-output parquet the query's DuckDB oracle
+    reads back (oracle_expected.py: serial pure-python reference over the
+    same inputs). Runs before the Spark plan is even built, so the file
+    exists whenever the oracle side executes."""
+    import oracle_expected
+
+    oracle_expected.seed_expected(name, sf_dir)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,12 +538,18 @@ def _q_ivf_knn(spark, sf_dir):
 
 
 def _q_minhash_cluster_sizes(spark, sf_dir):
+    """Full near-dup pipeline -> cluster-size histogram. Oracle: seeded
+    expected frame from the serial pipeline replica (oracle_expected)."""
+    _seed("minhash_cluster_sizes", sf_dir)
     res = _pipeline(spark, sf_dir)
     sizes = res.clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
 
 
 def _q_minhash_dup_pairs(spark, sf_dir):
+    """Verified near-dup rep pairs. Oracle: seeded expected frame (serial
+    brute-force LSH+verify replica)."""
+    _seed("minhash_dup_pairs", sf_dir)
     res = _pipeline(spark, sf_dir)
     return res.pairs.select("id_a", "id_b", "common", "denom")
 
@@ -540,13 +557,18 @@ def _q_minhash_dup_pairs(spark, sf_dir):
 def _q_sketch_cardinalities(spark, sf_dir):
     from mashspark.info import sketch_cardinalities
 
+    _seed("sketch_cardinalities", sf_dir)
     res = _pipeline(spark, sf_dir)
     return sketch_cardinalities(res.sketches, s=1000)
 
 
 def _q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Manku block join). Oracle: seeded expected
+    frame = brute-force all-pairs Hamming over the same signatures (the
+    block join is exact by pigeonhole, so brute force IS the contract)."""
     from mashspark.simhash import simhash_documents, simhash_dup_pairs
 
+    _seed("simhash_dup_pairs", sf_dir)
     sigs = simhash_documents(_docs(spark, sf_dir), k=8)
     return simhash_dup_pairs(sigs, max_hamming=3)
 
@@ -603,6 +625,7 @@ def _q_srp_bucket_stats(spark, sf_dir):
     behavior; murmur-free but plane-seed-dependent, so rows-only)."""
     from mashspark.ann import make_srp_udf
 
+    _seed("srp_bucket_stats", sf_dir)
     v = _emb(spark, sf_dir)
     dim = len(v.select("embedding").first()["embedding"])
     udf = make_srp_udf(dim, n_bits=8)
@@ -895,6 +918,8 @@ def _q_media_phash_dup_pairs(spark, sf_dir):
     hash is not SQL-expressible; the kernel and the planted-pair recall
     are pinned by tests/test_phash.py instead."""
     from mashspark.phash import phash_dup_pairs, phash_media
+
+    _seed("media_phash_dup_pairs", sf_dir)
 
     def make_images(batches):
         import numpy as np
@@ -1330,8 +1355,9 @@ def _bpe_merges(spark, sf_dir):
 def _q_bpe_trained_merges(spark, sf_dir):
     """Distributed BPE training (bpe.train_bpe, 12 merges on the even-id
     half): the learned merge table. Rows-only (iterative argmax is not
-    SQL-expressible); exact merge-sequence parity with an independent
-    pure-Python reference is pinned by pytest."""
+    SQL-expressible); oracle: seeded expected frame from the serial
+    reference trainer (merge-sequence exact)."""
+    _seed("bpe_trained_merges", sf_dir)
     merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
@@ -1341,10 +1367,11 @@ def _q_bpe_trained_merges(spark, sf_dir):
 
 def _q_bpe_encoded_lengths(spark, sf_dir):
     """Full BPE train+encode path (bpe.encode_bpe): every doc encoded
-    with the trained merges, token count per doc. Rows-only; encode
-    parity and losslessness are pytest-pinned."""
+    with the trained merges, token count per doc. Oracle: seeded expected
+    frame from the serial reference encoder."""
     from mashspark.bpe import encode_bpe
 
+    _seed("bpe_encoded_lengths", sf_dir)
     merges = _bpe_merges(spark, sf_dir)
     return encode_bpe(_docs(spark, sf_dir), merges).select(
         "doc_id", "n_bpe_tokens")
@@ -3600,4 +3627,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM old o FULL OUTER JOIN new n ON o.u = n.u
             ) WHERE status <> 'unchanged'
         """,
+        # ---- seeded expected-output oracles (oracle_expected.py): the
+        # query function writes the serial pure-python reference's result
+        # to .expected/<name>.parquet before returning its Spark plan;
+        # DuckDB reads it back here. Same independence model as
+        # tests/oracle.py — shared numpy kernels, serial composition.
+        **{name: _oe.oracle_for(name) for name in _oe.EXPECTED},
     }
