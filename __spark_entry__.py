@@ -674,10 +674,14 @@ def _q_paste_sketch_sizes(spark, sf_dir):
 
 def _q_containment_pairs(spark, sf_dir):
     """J6 containment (CommandContain.cpp semantics) over all pairs of the
-    first 40 docs; murmur-order dependent, so rows-only."""
+    first 40 docs. Oracle: seeded expected frame (serial contain_sketches
+    replica); containment/error emitted RAW — the same integer divisions
+    on both sides are IEEE-bit-exact, rounding would only add a
+    HALF_UP-vs-repr boundary hazard."""
     from mashspark.sketch import sketch_documents
     from mashspark.verify import contain_pairs
 
+    _seed("containment_pairs", sf_dir)
     sp = SketchParams(k=21, s=1000, seed=42)
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     sk = sketch_documents(docs, sp, LSHParams())
@@ -686,20 +690,21 @@ def _q_containment_pairs(spark, sf_dir):
     b = ids.withColumnRenamed("doc_id", "id_b")
     cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     out = contain_pairs(cands, sk, sp)
-    return out.select(
-        "id_a", "id_b", "common", "used", F.round("containment", 6).alias("containment_r")
-    )
+    return out.select("id_a", "id_b", "common", "used", "containment", "error")
 
 
 def _q_streaming_dedup_decisions(spark, sf_dir):
     """Structured Streaming incremental near-dup engine (foreachBatch +
     persisted sketch store): fixture docs replayed as two micro-batches;
-    returns the per-doc dedup decisions. Streaming + murmur -> rows-only."""
+    returns the per-doc dedup decisions. Oracle: seeded expected frame
+    (serial two-batch replay); novel docs emit dup_of = -1 so the value
+    hash never sees a NULL-vs-NaN representation skew."""
     import shutil
     import tempfile
 
     from mashspark.streaming import incremental_dedup
 
+    _seed("streaming_dedup_decisions", sf_dir)
     work = tempfile.mkdtemp(prefix="mashspark_stream_q_")
     try:
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
@@ -724,7 +729,7 @@ def _q_streaming_dedup_decisions(spark, sf_dir):
         # createDataFrame then rejects against LongType (round-2 err row)
         rows = (
             spark.read.parquet(f"{work}/store/decisions")
-            .select("doc_id", "dup_of")
+            .select("doc_id", F.coalesce("dup_of", F.lit(-1)).alias("dup_of"))
             .collect()
         )
         return spark.createDataFrame(rows, "doc_id long, dup_of long")
@@ -749,28 +754,33 @@ def _q_substring_removal(spark, sf_dir):
     substring_dup_doc_pairs. Murmur-anchored span merging -> rows-only
     (the span-detection layer underneath is oracle-checked by
     substring_dup_doc_pairs; the cut round-trip — exactly one occurrence
-    of every long repeat survives — is pinned by pytest)."""
+    of every long repeat survives — is pinned by pytest). Oracle: seeded
+    expected frame (serial anchor/diagonal-run/splice replica)."""
     from mashspark.substring import remove_shared_spans
 
+    _seed("substring_removal", sf_dir)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     out = remove_shared_spans(d, min_len=25, stride=1)
     return out.select("doc_id", "n_removed_spans", "n_removed_bytes")
 
 
 def _q_screen_wta(spark, sf_dir):
-    """A9 winner-take-all screen (rows-only: murmur-based)."""
+    """A9 winner-take-all screen. Oracle: seeded expected frame (serial
+    screen replica). Contract columns are the integer surfaces (shared,
+    denom, median depth) plus the python-UDF-computed p_value — identity
+    is a pure function of shared/denom (JVM pow, excluded to keep the
+    hash compare transcendental-free)."""
     from mashspark.screen import screen
     from mashspark.sketch import sketch_documents
 
+    _seed("screen_wta", sf_dir)
     sp = SketchParams(k=21, s=1000, seed=42)
     docs = _docs(spark, sf_dir)
     refs = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
     refs_sk = sketch_documents(refs, sp, LSHParams())
     rest = docs.join(refs.select("doc_id"), "doc_id", "left_anti")
     return screen(refs_sk, rest, sp, winner_take_all=True, with_pvalue=True).select(
-        "ref_id", "shared", "denom",
-        F.round("identity", 6).alias("identity_r"),
-        F.round(-F.log10(F.greatest(F.col("p_value"), F.lit(1e-300))), 4).alias("neg_log10_p"),
+        "ref_id", "shared", "denom", "median_multiplicity", "p_value"
     )
 
 
@@ -781,13 +791,14 @@ def _q_screen_boilerplate(spark, sf_dir):
     from mashspark.screen import screen
     from mashspark.sketch import sketch_documents
 
+    _seed("screen_boilerplate", sf_dir)
     sp = SketchParams(k=21, s=1000, seed=42)
     docs = _docs(spark, sf_dir)
     refs = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(5)
     refs_sk = sketch_documents(refs, sp, LSHParams())
     rest = docs.join(refs.select("doc_id"), "doc_id", "left_anti")
     return screen(refs_sk, rest, sp).select(
-        "ref_id", "shared", "denom", F.round("identity", 6).alias("identity_r")
+        "ref_id", "shared", "denom", "median_multiplicity"
     )
 
 
@@ -1548,10 +1559,12 @@ def _q_dedup_tier_counts(spark, sf_dir):
     corpus (50 byte-identical copies injected, near-dup families
     natural): docs per (tier, is_rep). Rows-only: the near tier is
     murmur/LSH-based; tier precedence and rep consistency are
-    pytest-pinned (tests/test_tiers.py)."""
+    pytest-pinned (tests/test_tiers.py). Oracle: seeded expected frame
+    (serial exact/canonical/near tier replica)."""
     from mashspark.params import PipelineConfig, SketchParams
     from mashspark.pipeline import dedup_tiers
 
+    _seed("dedup_tier_counts", sf_dir)
     cfg = PipelineConfig(sketch=SketchParams(k=21, s=512, seed=42),
                          jaccard_threshold=0.7)
     tiers = dedup_tiers(_seeded_docs(spark, sf_dir), config=cfg)
@@ -1564,9 +1577,11 @@ def _q_bbit_dup_pairs(spark, sf_dir):
     doc_id < 200, fixture-scoped all-pairs form. Rows-only: murmur-
     based signatures are not SQL-expressible (the driver-sanctioned
     convention for every sketch query); JVM-SWAR match counting and
-    estimator calibration are pytest-pinned (tests/test_bbit.py)."""
+    estimator calibration are pytest-pinned (tests/test_bbit.py). Oracle:
+    seeded expected frame (serial per-perm-min replica)."""
     from mashspark.bbit import bbit_dup_pairs
 
+    _seed("bbit_dup_pairs", sf_dir)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return bbit_dup_pairs(d, min_jaccard=0.35).select(
         "id_a", "id_b", "n_matches")
@@ -1631,10 +1646,11 @@ def _q_unigram_encoded_lengths(spark, sf_dir):
     """Unigram-LM tokenizer END TO END: train on docs doc_id < 60
     (vocab 60, fixed-point EM — bit-deterministic under partitioning),
     Viterbi-encode docs doc_id < 120, return per-doc piece counts.
-    Rows-only: EM + Viterbi are not SQL-expressible; exact parity vs an
-    independent single-process trainer is pytest-pinned."""
+    Oracle: seeded expected frame (the serial reference trainer+encoder,
+    exact under the fixed-point EM)."""
     from mashspark.unigram import encode_unigram, train_unigram
 
+    _seed("unigram_encoded_lengths", sf_dir)
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
     logp = train_unigram(docs.filter(F.col("doc_id") < 60), vocab_size=60,
                          max_piece_len=4)

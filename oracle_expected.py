@@ -402,6 +402,474 @@ def _exp_bpe_encoded_lengths(sf_dir: str) -> pd.DataFrame:
              [_ref_bpe_encode_len(texts[i], merges) for i in ids], dtype="int64")})
 
 
+# --- containment / screen family ------------------------------------------
+
+
+def _exp_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """All pairs of the first 40 docs through contain_sketches (the
+    golden-tested closed form of CommandContain.cpp:231-263); containment
+    and error are the same integer divisions the JVM performs."""
+    import math
+
+    from mashspark.compare import contain_sketches
+    from mashspark.minhash import sketch_text_bytes
+
+    texts = _texts(sf_dir)
+    ids = sorted(i for i in texts if i < 40)
+    sk = {i: sketch_text_bytes(texts[i].encode("utf-8"), 21, 1000, 42)
+          for i in ids}
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c, u = contain_sketches(sk[a], sk[b])
+            rows.append((a, b, c, u,
+                         c / u if u > 0 else 0.0,
+                         1.0 / math.sqrt(u) if u > 0 else 1.0))
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "common", "used", "containment",
+                       "error"],
+    ).astype({"id_a": "int64", "id_b": "int64", "common": "int64",
+              "used": "int64", "containment": "float64", "error": "float64"})
+
+
+def _screen_serial(sf_dir: str, n_refs: int, winner_take_all: bool,
+                   with_pvalue: bool, k: int = 21, s: int = 1000,
+                   seed: int = 42):
+    """Serial replica of screen.screen over the contract fixture: refs =
+    n_refs largest docs by (n_chars desc, doc_id asc), mixture = the rest.
+    Returns rows (ref_id, shared, denom, median_multiplicity[, p_value])."""
+    from mashspark.compare import binom_sf
+    from mashspark.hashing import hash_shingles_concat
+    from mashspark.minhash import kmv_set_size, sketch_text_bytes
+
+    d = load_docs(sf_dir)
+    order = d.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True])["doc_id"].astype(int)
+    ref_ids = list(order[:n_refs])
+    rest_ids = sorted(set(d["doc_id"].astype(int)) - set(ref_ids))
+    texts = _texts(sf_dir)
+
+    refs = {}
+    for r in ref_ids:
+        sk = sketch_text_bytes(texts[r].encode("utf-8"), k, s, seed)
+        card = kmv_set_size(sk) if len(sk) >= s else len(sk)
+        refs[r] = (sk, len(sk), card)
+
+    # mixture hash multiset (every window of every rest doc)
+    mults: dict[int, int] = {}
+    all_uniq = []
+    for i in rest_ids:
+        h = hash_shingles_concat(
+            np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8), k, seed)
+        vals, cnts = np.unique(h, return_counts=True)
+        all_uniq.append(vals)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            mults[v] = mults.get(v, 0) + int(c)
+
+    set_size = None
+    if with_pvalue:
+        uniq = np.unique(np.concatenate(all_uniq)) if all_uniq else \
+            np.empty(0, dtype=np.uint64)
+        set_size = kmv_set_size(uniq[:s])
+
+    # hits: (ref, hash) for sketch hashes present in the mixture
+    hits: dict[int, list[int]] = {r: [] for r in ref_ids}
+    for r, (sk, _, _) in refs.items():
+        for h in sk.tolist():
+            if h in mults:
+                hits[r].append(h)
+
+    if winner_take_all:
+        prelim = {r: len(hits[r]) for r in ref_ids}
+        score = {r: (prelim[r] / refs[r][1]) ** (1.0 / k)
+                 if refs[r][1] else 0.0 for r in ref_ids}
+        owners: dict[int, int] = {}
+        for r in ref_ids:
+            for h in hits[r]:
+                best = owners.get(h)
+                if best is None or (
+                    (-score[r], -refs[r][2], r) < (-score[best], -refs[best][2], best)
+                ):
+                    owners[h] = r
+        hits = {r: [h for h in hits[r] if owners[h] == r] for r in ref_ids}
+
+    rows = []
+    for r in ref_ids:
+        won = hits[r]
+        shared = len(won)
+        if shared == 0:
+            continue
+        denom = refs[r][1]
+        depths = sorted(mults[h] for h in won)
+        med = depths[shared // 2]
+        row = [r, shared, denom, med]
+        if with_pvalue:
+            kmer_space = 256.0 ** k
+            rr = float(set_size) / kmer_space
+            pv = float(binom_sf(np.array([shared - 1]), np.array([rr]),
+                                np.array([denom]))[0])
+            if shared == 0:
+                pv = 1.0
+            row.append(pv)
+        rows.append(row)
+    return rows
+
+
+def _exp_screen_wta(sf_dir: str) -> pd.DataFrame:
+    rows = _screen_serial(sf_dir, n_refs=10, winner_take_all=True,
+                          with_pvalue=True)
+    return pd.DataFrame(
+        rows, columns=["ref_id", "shared", "denom", "median_multiplicity",
+                       "p_value"],
+    ).astype({"ref_id": "int64", "shared": "int64", "denom": "int32",
+              "median_multiplicity": "int64", "p_value": "float64"})
+
+
+def _exp_screen_boilerplate(sf_dir: str) -> pd.DataFrame:
+    rows = _screen_serial(sf_dir, n_refs=5, winner_take_all=False,
+                          with_pvalue=False)
+    return pd.DataFrame(
+        rows, columns=["ref_id", "shared", "denom", "median_multiplicity"],
+    ).astype({"ref_id": "int64", "shared": "int64", "denom": "int32",
+              "median_multiplicity": "int64"})
+
+
+# --- exact-substring removal ------------------------------------------------
+
+
+def _exp_substring_removal(sf_dir: str) -> pd.DataFrame:
+    """Serial replica of substring.remove_shared_spans over docs < 200 at
+    min_len=25, stride=1: anchor every window hash, drop over-cap buckets,
+    pair on equal windows, merge diagonal runs (gap > 8*stride splits),
+    cut every occurrence except the smallest-doc_id one, snap cuts to
+    UTF-8 boundaries."""
+    from mashspark.hashing import hash_shingles_concat
+
+    min_len, stride, bucket_cap, seed = 25, 1, 200, 42
+    texts = _texts(sf_dir)
+    ids = sorted(i for i in texts if i < 200)
+    bufs = {i: np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8)
+            for i in ids}
+
+    anchors: dict[int, list[tuple[int, int]]] = {}  # hash -> [(doc, pos)]
+    for i in ids:
+        b = bufs[i]
+        if len(b) < min_len:
+            continue
+        h = hash_shingles_concat(b, min_len, seed)
+        for pos, hv in enumerate(h.tolist()):
+            anchors.setdefault(hv, []).append((i, pos))
+
+    # candidate anchor matches per (id_a, id_b, diag); window-equality
+    # verified (murmur-collision filter), over-cap buckets dropped
+    diag_hits: dict[tuple[int, int, int], list[int]] = {}
+    for occs in anchors.values():
+        if len(occs) < 2 or len(occs) > bucket_cap:
+            continue
+        for x in range(len(occs)):
+            for y in range(x + 1, len(occs)):
+                (da, pa), (db, pb) = occs[x], occs[y]
+                if da == db:
+                    continue
+                if da > db:
+                    da, db, pa, pb = db, da, pb, pa
+                if bufs[da][pa:pa + min_len].tobytes() != \
+                        bufs[db][pb:pb + min_len].tobytes():
+                    continue
+                diag_hits.setdefault((da, db, pa - pb), []).append(pa)
+
+    # diagonal runs -> cut intervals on the larger doc (id_b keeps losing)
+    cuts: dict[int, list[tuple[int, int]]] = {}
+    for (da, db, diag), pas in diag_hits.items():
+        pas = sorted(set(pas))
+        run_start = 0
+        for idx in range(1, len(pas) + 1):
+            if idx == len(pas) or pas[idx] - pas[idx - 1] > 8 * stride:
+                a_start = pas[run_start]
+                match_len = pas[idx - 1] - a_start + min_len
+                b_start = a_start - diag
+                cuts.setdefault(db, []).append((b_start, b_start + match_len))
+                run_start = idx
+
+    rows = []
+    for i in ids:
+        ivs = cuts.get(i)
+        if not ivs:
+            rows.append((i, 0, 0))
+            continue
+        buf = bufs[i]
+        n = len(buf)
+        merged: list[list[int]] = []
+        for s0, e0 in sorted(ivs):
+            s0, e0 = max(0, s0), min(n, e0)
+            if merged and s0 <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e0)
+            else:
+                merged.append([s0, e0])
+        is_boundary = (buf & 0xC0) != 0x80
+        keep = np.ones(n, dtype=bool)
+        for s0, e0 in merged:
+            while s0 > 0 and not is_boundary[s0]:
+                s0 -= 1
+            while e0 < n and not is_boundary[e0]:
+                e0 += 1
+            keep[s0:e0] = False
+        rows.append((i, len(merged), int(n - keep.sum())))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_removed_spans", "n_removed_bytes"],
+    ).astype("int64")
+
+
+# --- streaming incremental dedup -------------------------------------------
+
+
+def _exp_streaming_dedup_decisions(sf_dir: str) -> pd.DataFrame:
+    """Serial replay of streaming.IncrementalDeduper over the contract's
+    two micro-batches (docs 0-149, then 150-299): in-batch LSH candidates
+    + batch-vs-history band matches, two-tier verify at j>=0.7, decision =
+    min verified partner when it precedes the doc (-1 for novel docs,
+    aligned with the query's coalesce)."""
+    import math
+
+    from mashspark.compare import capped_merge_sorted
+    from mashspark.minhash import sketch_text_bytes
+    from mashspark.sketch import compute_band_keys
+
+    k, s, seed, jt, bands, prefix = 21, 1000, 42, 0.7, 32, 128
+    band_doc_cap = 64
+    texts = _texts(sf_dir)
+    ids = sorted(i for i in texts if i < 300)
+    sk = {i: sketch_text_bytes(texts[i].encode("utf-8"), k, s, seed)
+          for i in ids}
+    bk = {i: set(np.unique(compute_band_keys(sk[i], bands, prefix)).tolist())
+          for i in ids}
+
+    sigma = math.sqrt(max(jt * (1.0 - jt), 0.05) / float(prefix))
+    margin = max(0.15, 6.0 * sigma)
+
+    def verified(a: int, b: int) -> bool:
+        pa, pb = sk[a][:prefix], sk[b][:prefix]
+        c1, d1 = capped_merge_sorted(pa, pb, prefix)
+        if c1 / max(d1, 1) < jt - margin:
+            return False
+        c2, d2 = capped_merge_sorted(sk[a], sk[b], s)
+        return d2 > 0 and c2 / d2 >= jt
+
+    decisions: dict[int, int] = {}
+    history: list[int] = []
+    for batch in ([i for i in ids if i < 150], [i for i in ids if i >= 150]):
+        # in-batch LSH candidates (band buckets, star above band_doc_cap)
+        buckets: dict[int, list[int]] = {}
+        for i in batch:
+            for key in bk[i]:
+                buckets.setdefault(key, []).append(i)
+        cand: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            members = sorted(set(members))
+            if len(members) < 2:
+                continue
+            if len(members) <= band_doc_cap:
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        cand.add((members[x], members[y]))
+            else:
+                hub = members[0]
+                for m in members[1:]:
+                    cand.add((hub, m))
+        # batch-vs-history band matches
+        for h in history:
+            for i in batch:
+                if bk[h] & bk[i]:
+                    cand.add((min(h, i), max(h, i)))
+        partners: dict[int, list[int]] = {}
+        for a, b in cand:
+            if verified(a, b):
+                partners.setdefault(a, []).append(b)
+                partners.setdefault(b, []).append(a)
+        for i in batch:
+            best = min(partners.get(i, [i]))
+            decisions[i] = best if best < i else -1
+        history.extend(batch)
+
+    return pd.DataFrame(
+        {"doc_id": ids, "dup_of": [decisions[i] for i in ids]},
+    ).astype("int64")
+
+
+# --- b-bit minwise -----------------------------------------------------------
+
+
+def _exp_bbit_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """All-pairs b-bit minwise (P=128, b=4) over docs < 200: per-perm min
+    of fmix64(h ^ salt), match = equal low-b fields, collision-corrected
+    estimator with the query's 0.35 cut (Spark-rounded to 6)."""
+    from mashspark.bbit import _salts
+    from mashspark.hashing import _fmix64, hash_shingles_concat
+
+    n_perm, b, k, seed = 128, 4, 21, 42
+    salts = _salts(n_perm, seed)
+    texts = _texts(sf_dir)
+    ids = sorted(i for i in texts if i < 200)
+    fields = {}
+    for i in ids:
+        buf = np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8)
+        h = hash_shingles_concat(buf, k, seed)
+        if len(h) == 0:
+            continue
+        mins = _fmix64(h[:, None] ^ salts[None, :]).min(axis=0)
+        fields[i] = mins & np.uint64((1 << b) - 1)
+    c = 1.0 / (1 << b)
+    rows = []
+    sig_ids = [i for i in ids if i in fields]
+    for x in range(len(sig_ids)):
+        for y in range(x + 1, len(sig_ids)):
+            a_id, b_id = sig_ids[x], sig_ids[y]
+            m = int((fields[a_id] == fields[b_id]).sum())
+            est = max((m / float(n_perm) - c) / (1.0 - c), 0.0)
+            if java_round(est, 6) >= 0.35:
+                rows.append((a_id, b_id, m))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "n_matches"]
+                        ).astype("int64")
+
+
+# --- tiered dedup report -----------------------------------------------------
+
+
+def _exp_dedup_tier_counts(sf_dir: str) -> pd.DataFrame:
+    """Serial replica of pipeline.dedup_tiers over the seeded corpus
+    (fixture + byte-identical copies of the first 50 docs at +10M ids),
+    sketch s=512: strictest-tier labels, grouped by (tier, is_rep)."""
+    import re
+
+    texts = dict(_texts(sf_dir))
+    for i in sorted(texts):
+        if i < 50:
+            texts[i + 10_000_000] = texts[i]
+    ids = sorted(texts)
+
+    def multi_rep(groups: dict) -> dict[int, int]:
+        out = {}
+        for members in groups.values():
+            if len(members) > 1:
+                rep = min(members)
+                for m in members:
+                    out[m] = rep
+        return out
+
+    exact_groups: dict[str, list[int]] = {}
+    for i in ids:
+        exact_groups.setdefault(texts[i] or "", []).append(i)
+    e_rep = multi_rep(exact_groups)
+
+    canon_groups: dict[str, list[int]] = {}
+    canon_self: list[int] = []
+    for i in ids:
+        t = re.sub("[^a-z0-9]+", " ", (texts[i] or "").lower())
+        t = re.sub("[0-9]", "0", t).strip(" ")
+        if t:
+            canon_groups.setdefault(t, []).append(i)
+        else:
+            canon_self.append(i)
+    c_rep = multi_rep(canon_groups)
+
+    clusters = _serial_pipeline(sf_dir, texts=texts, s=512)["clusters"]
+    near_groups: dict[int, list[int]] = {}
+    for i, lbl in clusters.items():
+        near_groups.setdefault(lbl, []).append(i)
+    n_rep = multi_rep(near_groups)
+
+    counts: dict[tuple[str, bool], int] = {}
+    for i in ids:
+        if i in e_rep:
+            tier, rep = "exact", e_rep[i]
+        elif i in c_rep:
+            tier, rep = "canonical", c_rep[i]
+        elif i in n_rep:
+            tier, rep = "near", n_rep[i]
+        else:
+            tier, rep = "unique", i
+        key = (tier, rep == i)
+        counts[key] = counts.get(key, 0) + 1
+    return pd.DataFrame(
+        [(t, r, n) for (t, r), n in counts.items()],
+        columns=["tier", "is_rep", "n_docs"],
+    ).astype({"tier": "object", "is_rep": "bool", "n_docs": "int64"})
+
+
+# --- unigram tokenizer -------------------------------------------------------
+
+
+def _exp_unigram_encoded_lengths(sf_dir: str) -> pd.DataFrame:
+    """Serial unigram-LM trainer (the tests/test_unigram.py reference
+    algorithm: integer seed counts, fixed-point E-step, (count desc,
+    piece asc) pruning) on docs < 60, Viterbi piece counts for docs
+    < 120."""
+    from collections import Counter
+
+    from mashspark.unigram import (_MICRO, _normalize_logprobs,
+                                   expected_counts_word, viterbi_segment)
+
+    vocab_size, max_piece_len = 60, 4
+    shrink_factor, em_rounds_per_prune = 0.75, 2
+    texts = _texts(sf_dir)
+    train_ids = sorted(i for i in texts if i < 60)
+    enc_ids = sorted(i for i in texts if i < 120)
+
+    wc = Counter(w for i in train_ids for w in texts[i].split())
+    seed_size = 4 * vocab_size
+    sub: Counter = Counter()
+    for w, cnt in wc.items():
+        for i in range(len(w)):
+            for n in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub[w[i:i + n]] += cnt
+    top = sorted(sub.items(), key=lambda pc: (-pc[1], pc[0]))[:seed_size]
+    vocab = dict(top)
+    for p, cnt in sub.items():
+        if len(p) == 1:
+            vocab.setdefault(p, cnt)
+    micro = {p: cnt * _MICRO for p, cnt in vocab.items()}
+
+    def e_step(logp):
+        acc: dict[str, int] = {}
+        for w, cnt in wc.items():
+            for piece, v in expected_counts_word(w, logp, max_piece_len).items():
+                acc[piece] = acc.get(piece, 0) + int(round(v * cnt * _MICRO))
+        return acc
+
+    while True:
+        logp = _normalize_logprobs(micro)
+        for _ in range(em_rounds_per_prune):
+            new = e_step(logp)
+            micro = {p: new.get(p, 0) for p in logp}
+            logp = _normalize_logprobs(micro)
+        n_chars = sum(1 for p in micro if len(p) == 1)
+        if len(micro) <= max(vocab_size, n_chars):
+            break
+        keep_target = max(vocab_size, n_chars, int(len(micro) * shrink_factor))
+        multi = sorted(((p, cnt) for p, cnt in micro.items() if len(p) > 1),
+                       key=lambda pc: (-pc[1], pc[0]))
+        kept = dict(multi[: keep_target - n_chars])
+        micro = {p: cnt for p, cnt in micro.items()
+                 if len(p) == 1 or p in kept}
+    final = e_step(_normalize_logprobs(micro))
+    micro = {p: final.get(p, 0) for p in micro}
+    logp = _normalize_logprobs(micro)
+
+    cache: dict[str, int] = {}
+    rows = []
+    for i in enc_ids:
+        n = 0
+        for w in texts[i].split():
+            ln = cache.get(w)
+            if ln is None:
+                ln = len(viterbi_segment(w, logp, max_piece_len))
+                cache[w] = ln
+            n += ln
+        rows.append((i, n))
+    return pd.DataFrame(rows, columns=["doc_id", "n_pieces"]).astype("int64")
+
+
 EXPECTED = {
     "minhash_dup_pairs": _exp_minhash_dup_pairs,
     "minhash_cluster_sizes": _exp_minhash_cluster_sizes,
@@ -411,4 +879,12 @@ EXPECTED = {
     "media_phash_dup_pairs": _exp_media_phash_dup_pairs,
     "bpe_trained_merges": _exp_bpe_trained_merges,
     "bpe_encoded_lengths": _exp_bpe_encoded_lengths,
+    "containment_pairs": _exp_containment_pairs,
+    "screen_wta": _exp_screen_wta,
+    "screen_boilerplate": _exp_screen_boilerplate,
+    "substring_removal": _exp_substring_removal,
+    "streaming_dedup_decisions": _exp_streaming_dedup_decisions,
+    "bbit_dup_pairs": _exp_bbit_dup_pairs,
+    "dedup_tier_counts": _exp_dedup_tier_counts,
+    "unigram_encoded_lengths": _exp_unigram_encoded_lengths,
 }
