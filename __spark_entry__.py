@@ -185,29 +185,39 @@ def _q_pq_codes(spark, sf_dir):
 
 
 def _q_pq_knn(spark, sf_dir):
-    """PQ ADC top-k search (pq.py): Lloyd-trained codebooks (2 iters),
-    queries = vec_id < 20, k=5. Rows-only: the trained codebooks are
-    float-iterated and not SQL-expressible; exact ADC parity vs the
-    single-process reference is pytest-pinned."""
+    """PQ ADC top-k search (pq.py) with FIXED deterministic-init
+    codebooks (n_iters=0: subvectors of the 8 smallest vec_ids — same
+    convention as ivf_knn, whose verdict-sanctioned contract splits
+    "fixed quantizer: oracle-checked" from "Lloyd refinement:
+    pytest-pinned"; Lloyd's partial-sum accumulation order makes trained
+    codebooks partitioning-ulp-dependent, unfit for a bit-exact oracle).
+    Queries = vec_id < 20, k=5, fully distributed (packed-block
+    crossJoin — no driver collect of queries). Oracle: seeded expected
+    frame (serial ADC replica)."""
     from mashspark.pq import pq_search, pq_train
 
+    _seed("pq_knn", sf_dir)
     emb = _emb(spark, sf_dir)
-    books = pq_train(emb, m=4, k=8, n_iters=2)
+    books = pq_train(emb, m=4, k=8, n_iters=0)
     queries = emb.filter(F.col("vec_id") < 20)
     return pq_search(emb, queries, books, top_k=5).select(
         "query_id", "neighbor_id", "rank")
 
 
 def _q_ivfpq_knn(spark, sf_dir):
-    """IVFPQ composed search (pq.ivfpq_*): coarse quantizer + residual
-    PQ codes, nprobe=3 of 8 lists, k=5. Rows-only: float-trained
-    codebooks; index/search parity vs the single-process reference is
-    pytest-pinned (tests/test_pq.py)."""
+    """IVFPQ composed search (pq.ivfpq_*): FIXED coarse quantizer +
+    FIXED residual codebooks (0 iters each — deterministic init, same
+    fixed-vs-Lloyd contract split as pq_knn/ivf_knn; Lloyd training is
+    pytest-pinned in tests/test_pq.py), nprobe=3 of 8 lists, k=5, fully
+    distributed (probe rows equi-join the list_id-keyed index — no
+    driver collect of queries). Oracle: seeded expected frame (serial
+    IVFPQ replica)."""
     from mashspark.pq import ivfpq_index, ivfpq_search, ivfpq_train
 
+    _seed("ivfpq_knn", sf_dir)
     emb = _emb(spark, sf_dir)
-    cent, books = ivfpq_train(emb, n_lists=8, m=4, k=8, n_iters=2,
-                              coarse_iters=2)
+    cent, books = ivfpq_train(emb, n_lists=8, m=4, k=8, n_iters=0,
+                              coarse_iters=0)
     idx = ivfpq_index(emb, cent, books)
     queries = emb.filter(F.col("vec_id") < 20)
     return ivfpq_search(idx, queries, cent, books, top_k=5,

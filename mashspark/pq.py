@@ -297,40 +297,68 @@ def ivfpq_search(index: DataFrame, queries: DataFrame,
     """Approximate top-k over the IVFPQ index: each query probes its
     ``nprobe`` nearest lists (cosine, matching the index assignment)
     and scores ONLY rows in those lists, by ADC against a per-(query,
-    list) residual LUT. The LUT tensor (q x nprobe x m x k doubles)
-    rides the closure — driver-sized queries by contract. One map pass
-    + per-partition local top-k + one small global window; the index
-    never shuffles. Output: (query_id, neighbor_id, adc_dist, rank).
-    """
-    import heapq
+    list) residual LUT.
 
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    Fully distributed — queries stay a DataFrame end to end (the former
+    formulation collected them to the driver and shipped a q×nprobe×m×k
+    LUT tensor in the task closure, capping the query side at driver
+    memory; corpus-vs-corpus search was impossible):
+
+    1. probe assignment is a map-only Arrow pass over the QUERY relation
+       (only the n_lists x dim centroid matrix rides the closure — small
+       by construction of a coarse quantizer), emitting skinny
+       (query_id, list_id, qvec) probe rows;
+    2. probes equi-join the index on ``list_id`` — at scale the index is
+       stored bucketed by list_id, so this is the co-located join, and a
+       probed list never moves unless some query probes it;
+    3. ADC is one Arrow pass over the joined relation: per batch, the
+       residual LUT is built ONCE per distinct (query, list) group and
+       gathered over that group's codes — executor-side, never on the
+       driver;
+    4. global top-k is a rank-limited window (Spark pushes the limit
+       into the shuffle as WindowGroupLimit), ties to the smaller
+       neighbor id.
+
+    Output: (query_id, neighbor_id, adc_dist, rank).
+    """
+    from pyspark.sql.types import (ArrayType as _A, DoubleType, LongType,
+                                   StructField, StructType)
 
     cent = np.asarray(centroids, dtype=np.float64)
     cn = _norm_rows(cent)
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, kk, dsub = cb.shape
-    qrows = queries.select(F.col(id_col).alias("qid"),
-                           F.col(vec_col).alias("qvec")).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
     nprobe = min(nprobe, cent.shape[0])
-    sims = _norm_rows(qmat) @ cn.T
-    probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # (q, p)
-    # per (query, probed list) residual LUTs: (q, p, m, k)
-    luts = np.empty((len(qids), nprobe, mm, kk))
-    for qi in range(len(qids)):
-        for pi in range(nprobe):
-            r = qmat[qi] - cent[probes[qi, pi]]
-            for j in range(mm):
-                luts[qi, pi, j] = (
-                    (r[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2
-                ).sum(axis=1)
-    # list -> [(qi, pi)] inverted probe map
-    probe_map: dict[int, list[tuple[int, int]]] = {}
-    for qi in range(len(qids)):
-        for pi in range(nprobe):
-            probe_map.setdefault(int(probes[qi, pi]), []).append((qi, pi))
+
+    probe_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("list_id", LongType()),
+        StructField("qvec", _A(DoubleType())),
+    ])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["qid"].to_numpy(dtype=np.int64)
+            qmat = _stack(pdf["qvec"])
+            sims = _norm_rows(qmat) @ cn.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, nprobe),
+                "list_id": order.ravel().astype(np.int64),
+                "qvec": [qmat[i] for i in range(len(qids))
+                         for _ in range(nprobe)],
+            })
+
+    probes = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).mapInPandas(probe, schema=probe_schema)
+
+    # shuffle-hash: both sides are skinny (probe rows / m-byte codes);
+    # a sort-merge would sort the fat side for nothing and the probe
+    # side is unbounded at corpus-vs-corpus scale, so no broadcast
+    cand = probes.hint("shuffle_hash").join(index, "list_id")
 
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -339,40 +367,41 @@ def ivfpq_search(index: DataFrame, queries: DataFrame,
     ])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict[int, list[tuple[float, int]]] = {}
+        jj = np.arange(mm)[None, :]
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
             lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
             codes = np.stack([np.asarray(c, dtype=np.int64)
                               for c in pdf["codes"]])
-            for lid in np.unique(lists):
-                hits = probe_map.get(int(lid))
-                if not hits:
-                    continue
-                sel = lists == lid
-                sids = ids[sel]
-                scodes = codes[sel]
-                for qi, pi in hits:
-                    lut = luts[qi, pi]
-                    d = lut[np.arange(mm)[None, :], scodes].sum(axis=1)
-                    heap = best.setdefault(qi, [])
-                    for dv, nid in zip(d, sids):
-                        if nid == qids[qi]:
-                            continue
-                        item = (-float(dv), -int(nid))
-                        if len(heap) < top_k:
-                            heapq.heappush(heap, item)
-                        elif item > heap[0]:
-                            heapq.heapreplace(heap, item)
-        rows = [(int(qids[qi]), -nid_neg, -dneg)
-                for qi, heap in best.items()
-                for dneg, nid_neg in heap]
-        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
-                                          "adc_dist"])
+            dists = np.empty(len(pdf), dtype=np.float64)
+            # one LUT per distinct (query, list) group in the batch
+            order = np.lexsort((lists, qids))
+            oq, ol = qids[order], lists[order]
+            starts = np.flatnonzero(
+                np.r_[True, (oq[1:] != oq[:-1]) | (ol[1:] != ol[:-1])])
+            ends = np.r_[starts[1:], len(order)]
+            qvecs = pdf["qvec"].to_numpy()
+            for s0, e0 in zip(starts, ends):
+                rows = order[s0:e0]
+                q = np.asarray(qvecs[rows[0]], dtype=np.float64)
+                r = q - cent[ol[s0]]
+                lut = np.stack([
+                    ((r[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2
+                     ).sum(axis=1)
+                    for j in range(mm)
+                ])
+                dists[rows] = lut[jj, codes[rows]].sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": qids, "neighbor_id": ids, "adc_dist": dists,
+            })
 
-    local = index.mapInPandas(score, schema=out_schema)
+    local = (
+        cand.mapInPandas(score, schema=out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
@@ -384,29 +413,80 @@ def ivfpq_search(index: DataFrame, queries: DataFrame,
 def pq_search(vectors: DataFrame, queries: DataFrame,
               codebooks: np.ndarray, top_k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k neighbors by ADC over PQ codes.
+    """Approximate top-k neighbors by ADC over PQ codes — the exhaustive
+    (IVF-free) scan, as a blocked cross product of two PACKED relations.
 
-    Queries are collected to the driver (driver-sized by contract, as
-    in ``ann.knn_bruteforce``) and their LUTs ship in the UDF closure.
-    One map pass encodes + scores the corpus and keeps a LOCAL top-k
-    per (partition, query); the global merge windows O(partitions x
-    queries x top_k) rows. Output: (query_id, neighbor_id, adc_dist,
-    rank), self-matches excluded, ties on ascending neighbor id.
+    Fully distributed — queries stay a DataFrame end to end (the former
+    formulation collected them to the driver and shipped a q x m x k LUT
+    tensor in the task closure, capping the query side at driver memory):
+
+    1. the corpus is encoded map-only and PACKED — one row per Arrow
+       batch carrying (ids blob, codes blob), no shuffle (a flat PQ scan
+       touches every code for every query by definition, so the unit of
+       work is "query chunk x code block");
+    2. the query relation is packed the same way (id + vector blobs);
+    3. packed_queries x packed_blocks is a crossJoin of two TINY
+       relations (rows = corpus/batch x queries/batch, each row scoring
+       batch x batch pairs vectorized); LUTs are built per joined row,
+       executor-side;
+    4. each joined row emits only its local top-k per query; the global
+       top-k is the same rank-limited window every ANN operator here
+       uses (ties to the smaller neighbor id).
+
+    Output: (query_id, neighbor_id, adc_dist, rank), self-matches
+    excluded. Exhaustive-scan cost is inherent to flat PQ — use
+    ``ivfpq_search`` when probing can bound the scanned fraction.
     """
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import (BinaryType, DoubleType, IntegerType as _I,
+                                   LongType, StructField, StructType)
 
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, kk, dsub = cb.shape
-    qrows = queries.select(F.col(id_col).alias("qid"),
-                           F.col(vec_col).alias("qvec")).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
-    # (q, m, k) lookup tables
-    luts = np.stack([
-        ((qmat[:, j * dsub:(j + 1) * dsub][:, None, :]
-          - cb[j][None, :, :]) ** 2).sum(axis=2)
-        for j in range(mm)
-    ], axis=1)
+
+    block_schema = StructType([
+        StructField("ids", BinaryType()),
+        StructField("codes", BinaryType()),
+        StructField("n", _I()),
+    ])
+
+    def pack_codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack(pdf["vec"])
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                codes[:, j] = _assign_subspace(
+                    mat[:, j * dsub:(j + 1) * dsub], cb[j])
+            yield pd.DataFrame({
+                "ids": [pdf["id"].to_numpy(dtype="<i8").tobytes()],
+                "codes": [codes.astype("<i4").tobytes()],
+                "n": [len(mat)],
+            })
+
+    qblock_schema = StructType([
+        StructField("qids", BinaryType()),
+        StructField("qvecs", BinaryType()),
+        StructField("qn", _I()),
+    ])
+
+    def pack_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = _stack(pdf["qvec"])
+            yield pd.DataFrame({
+                "qids": [pdf["qid"].to_numpy(dtype="<i8").tobytes()],
+                "qvecs": [qmat.astype("<f8").tobytes()],
+                "qn": [len(qmat)],
+            })
+
+    blocks = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(pack_codes, schema=block_schema)
+    qblocks = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).mapInPandas(pack_queries, schema=qblock_schema)
 
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -415,41 +495,50 @@ def pq_search(vectors: DataFrame, queries: DataFrame,
     ])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict[int, list[tuple[float, int]]] = {}
-        import heapq
-
+        jj = np.arange(mm)[None, :]
         for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _stack(pdf["vec"])
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            codes = np.empty((len(mat), mm), dtype=np.int64)
-            for j in range(mm):
-                codes[:, j] = _assign_subspace(
-                    mat[:, j * dsub:(j + 1) * dsub], cb[j])
-            # dists: (q, n) via LUT gather
-            gathered = luts[:, np.arange(mm)[None, :], codes]  # (q, n, m)
-            dists = gathered.sum(axis=2)
-            for qi in range(len(qids)):
-                heap = best.setdefault(qi, [])
-                for d, nid in zip(dists[qi], ids):
-                    if nid == qids[qi]:
-                        continue
-                    # max-heap by negated dist; tie -> keep smaller id
-                    item = (-float(d), -int(nid))
-                    if len(heap) < top_k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-        rows = [(int(qids[qi]), -nid_neg, -dneg)
-                for qi, heap in best.items()
-                for dneg, nid_neg in heap]
-        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
-                                          "adc_dist"])
+            out_q, out_n, out_d = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.frombuffer(row.ids, dtype="<i8")
+                codes = np.frombuffer(row.codes, dtype="<i4").reshape(
+                    int(row.n), mm).astype(np.int64)
+                qids = np.frombuffer(row.qids, dtype="<i8")
+                qmat = np.frombuffer(row.qvecs, dtype="<f8").reshape(
+                    int(row.qn), mm * dsub)
+                # (q, m, k) LUTs for this chunk, then (q, n) gather-sum
+                luts = np.stack([
+                    ((qmat[:, j * dsub:(j + 1) * dsub][:, None, :]
+                      - cb[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(mm)
+                ], axis=1)
+                dists = luts[:, jj, codes].sum(axis=2)  # (q, n)
+                keep = min(top_k + 1, dists.shape[1])  # +1 absorbs self
+                for qi in range(len(qids)):
+                    d = dists[qi]
+                    if keep < len(d):
+                        # pool = everything <= the keep-th smallest dist:
+                        # PQ codes make exact distance ties common, and a
+                        # bare argpartition would keep an ARBITRARY subset
+                        # of the tied boundary — the contract (and the
+                        # global window) break ties by smaller id, so the
+                        # whole tie set must reach the lexsort
+                        kth = np.partition(d, keep - 1)[keep - 1]
+                        part = np.flatnonzero(d <= kth)
+                    else:
+                        part = np.arange(len(d))
+                    sel = part[np.lexsort((ids[part], d[part]))]
+                    sel = sel[ids[sel] != qids[qi]][:top_k]
+                    out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                    out_n.append(ids[sel])
+                    out_d.append(d[sel])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                })
 
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("vec"))
-    local = v.mapInPandas(score, schema=out_schema)
+    local = qblocks.crossJoin(blocks).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id"))
     return (

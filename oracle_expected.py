@@ -733,6 +733,127 @@ def _exp_bbit_dup_pairs(sf_dir: str) -> pd.DataFrame:
                         ).astype("int64")
 
 
+# --- PQ / IVFPQ ANN ----------------------------------------------------------
+
+
+def _load_emb(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    return ids, mat
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def _pq_train_serial(mat: np.ndarray, m: int, k: int, n_iters: int) -> np.ndarray:
+    """Serial pq.pq_train: deterministic init (k smallest ids' subvectors
+    — mat is id-sorted), Lloyd with empty cells keeping their centroid."""
+    dim = mat.shape[1]
+    dsub = dim // m
+    books = np.stack([mat[:k, j * dsub:(j + 1) * dsub].copy()
+                      for j in range(m)])
+    for _ in range(n_iters):
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    books[j, c] = sub[sel].sum(axis=0) / sel.sum()
+    return books
+
+
+def _pq_encode_serial(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m, _, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                       ).sum(axis=2).argmin(axis=1)
+    return codes
+
+
+def _adc_topk(qid: int, q: np.ndarray, cand_ids: np.ndarray,
+              cand_codes: np.ndarray, books: np.ndarray,
+              top_k: int, base: np.ndarray | None = None) -> list[tuple]:
+    m, _, dsub = books.shape
+    r = q if base is None else q - base
+    lut = np.stack([
+        ((r[j * dsub:(j + 1) * dsub][None, :] - books[j]) ** 2).sum(axis=1)
+        for j in range(m)
+    ])
+    d = lut[np.arange(m)[None, :], cand_codes].sum(axis=1)
+    order = np.lexsort((cand_ids, d))
+    out = []
+    for idx in order:
+        if cand_ids[idx] == qid:
+            continue
+        out.append((qid, int(cand_ids[idx]), len(out) + 1))
+        if len(out) == top_k:
+            break
+    return out
+
+
+def _exp_pq_knn(sf_dir: str) -> pd.DataFrame:
+    """Serial flat-PQ ADC search (m=4, k=8, fixed deterministic-init
+    codebooks, queries = vec_id < 20, top-5, self excluded, ties to the
+    smaller id)."""
+    ids, mat = _load_emb(sf_dir)
+    books = _pq_train_serial(mat, m=4, k=8, n_iters=0)
+    codes = _pq_encode_serial(mat, books)
+    rows = []
+    for qi in np.flatnonzero(ids < 20):
+        rows.extend(_adc_topk(int(ids[qi]), mat[qi], ids, codes, books, 5))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]
+                        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                                  "rank": "int32"})
+
+
+def _exp_ivfpq_knn(sf_dir: str) -> pd.DataFrame:
+    """Serial IVFPQ (8 lists, fixed coarse quantizer + fixed residual
+    codebooks — deterministic init, 0 iters — nprobe=3, top-5):
+    per-(query, list) residual LUT ADC."""
+    ids, mat = _load_emb(sf_dir)
+    n_lists, nprobe, top_k = 8, 3, 5
+    cent = mat[:n_lists].copy()
+    cn = _norm_rows(cent)
+    assign = (_norm_rows(mat) @ cn.T).argmax(axis=1)
+    resid = mat - cent[assign]
+    books = _pq_train_serial(resid, m=4, k=8, n_iters=0)
+    codes = _pq_encode_serial(resid, books)
+    rows = []
+    for qi in np.flatnonzero(ids < 20):
+        q = mat[qi]
+        sims = (_norm_rows(q[None, :]) @ cn.T)[0]
+        probes = np.argsort(-sims, kind="stable")[:nprobe]
+        cand = []
+        for lid in probes:
+            sel = assign == lid
+            m_, _, dsub = books.shape
+            r = q - cent[lid]
+            lut = np.stack([
+                ((r[j * dsub:(j + 1) * dsub][None, :] - books[j]) ** 2
+                 ).sum(axis=1) for j in range(m_)
+            ])
+            d = lut[np.arange(m_)[None, :], codes[sel]].sum(axis=1)
+            cand.extend(zip(d.tolist(), ids[sel].tolist()))
+        cand = [(d, n) for d, n in cand if n != int(ids[qi])]
+        cand.sort()
+        rows.extend((int(ids[qi]), n, r + 1)
+                    for r, (_, n) in enumerate(cand[:top_k]))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]
+                        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                                  "rank": "int32"})
+
+
 # --- tiered dedup report -----------------------------------------------------
 
 
@@ -887,4 +1008,6 @@ EXPECTED = {
     "bbit_dup_pairs": _exp_bbit_dup_pairs,
     "dedup_tier_counts": _exp_dedup_tier_counts,
     "unigram_encoded_lengths": _exp_unigram_encoded_lengths,
+    "pq_knn": _exp_pq_knn,
+    "ivfpq_knn": _exp_ivfpq_knn,
 }

@@ -262,3 +262,68 @@ def test_cross_dist_crosses_ids_not_sketches(spark, docs_parquet):
                  and i + 1 < len(lines)]
     for ol in out_lines:
         assert "sketch" not in ol, ol
+
+
+def test_ivfpq_search_is_distributed_query_side(spark):
+    """Round-4 rework of pq.ivfpq_search: the query relation must stay a
+    DataFrame end to end — probe assignment is an Arrow map pass over
+    queries, candidates come from a shuffled-hash equi-join on list_id,
+    and NO sort-merge sorts the candidate relation. (The former
+    formulation collected the query table to the driver and shipped a
+    q x nprobe x m x k LUT tensor in the task closure — corpus-vs-corpus
+    search was structurally impossible.)"""
+    import numpy as np
+
+    from mashspark.pq import ivfpq_index, ivfpq_search
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(int(i), rng.standard_normal(16).tolist()) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = rng.standard_normal((4, 16))
+    books = rng.standard_normal((4, 8, 4))
+    idx = ivfpq_index(vecs, cent, books)
+    out = ivfpq_search(idx, vecs, cent, books, top_k=3, nprobe=2)
+    plan = plan_of(out, "formatted")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # both mapInPandas stages (probe over queries, ADC over candidates)
+    assert plan.count("MapInPandas") >= 2, plan
+
+
+def test_pq_search_blocked_no_driver_queries(spark):
+    """pq_search packs queries and codes into per-batch block rows and
+    cross-joins the two TINY packed relations — queries never collect to
+    the driver, and correctness holds for a query table far larger than
+    any sane closure (tie-heavy PQ codes included)."""
+    import numpy as np
+
+    from mashspark.pq import pq_adc_reference, pq_search
+
+    rng = np.random.default_rng(11)
+    n = 400
+    mat = rng.standard_normal((n, 16))
+    vecs = spark.createDataFrame(
+        [(int(i), mat[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)  # several blocks on each side
+    books = rng.standard_normal((4, 8, 4))
+    out = pq_search(vecs, vecs, books, top_k=3)
+    plan = plan_of(out, "formatted")
+    assert plan.count("MapInPandas") >= 3, plan  # pack, pack, score
+    rows = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    # exact parity vs the single-process ADC reference on every query
+    from mashspark.pq import _assign_subspace
+
+    codes = np.stack([
+        np.concatenate([[_assign_subspace(mat[i:i + 1, j * 4:(j + 1) * 4],
+                                          books[j])[0]] for j in range(4)])
+        for i in range(n)
+    ])
+    for q in range(n):
+        d = pq_adc_reference(mat[q], codes, books)
+        order = np.lexsort((np.arange(n), d))
+        want = [int(i) for i in order if i != q][:3]
+        got = [rows[(q, r)] for r in (1, 2, 3)]
+        assert got == want, (q, got, want)
