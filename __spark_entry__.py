@@ -283,11 +283,12 @@ def _q_gopher_line_format(spark, sf_dir):
 
 def _q_compression_stats(spark, sf_dir):
     """zlib compression-ratio quality signal
-    (repetition.compression_stats). Rows-only: DuckDB has no zlib
-    scalar; bit-exactness vs direct zlib and partition invariance are
-    pytest-pinned (tests/test_dup_ngrams.py)."""
+    (repetition.compression_stats). Oracle: seeded expected frame
+    (serial zlib — bit-deterministic at a fixed level, so the check
+    pins the Arrow batching/encoding plumbing)."""
     from mashspark.repetition import compression_stats
 
+    _seed("compression_stats", sf_dir)
     return compression_stats(_docs(spark, sf_dir))
 
 
@@ -619,12 +620,13 @@ def _q_semantic_dup_clusters(spark, sf_dir):
 
 def _q_text_vector_dup_groups(spark, sf_dir):
     """Text -> in-engine hashing-TF vectors -> SRP-bucketed semantic
-    dedup, end to end (no model embeddings needed). murmur3-32 term
-    bucketing + seeded SRP planes -> rows-only; the bridge semantics are
-    pinned by pytest and the components by their own oracle rows."""
+    dedup, end to end (no model embeddings needed). Oracle: seeded
+    expected frame (serial replica incl. a python Murmur3_x86_32
+    matching Spark ML's HashingTF term bucketing)."""
     from mashspark.ann import semantic_dedup
     from mashspark.textstats import hashing_tf_vectors
 
+    _seed("text_vector_dup_groups", sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "text")
     vecs = hashing_tf_vectors(d, dim=256).withColumnRenamed("doc_id", "vec_id")
     return semantic_dedup(vecs, min_cos=0.9, n_bits=6, n_tables=8)
@@ -1245,10 +1247,12 @@ def _q_cross_dedup_decisions(spark, sf_dir):
     """Batch cross-corpus dedup (pipeline.dedup_against): odd-id docs
     checked against the even-id half as the reference corpus — planted
     near-dup families straddle the split, so decisions are non-trivial.
-    Rows-only (murmur-based LSH + verify); planted-dup recovery is
-    pinned by pytest."""
+    Oracle: seeded expected frame (serial cross band join + two-tier
+    verify replica); novel docs emit dup_of = -1 (NULL-vs-NaN hash
+    hygiene, as in streaming_dedup_decisions)."""
     from mashspark.pipeline import dedup_against
 
+    _seed("cross_dedup_decisions", sf_dir)
     docs = _docs(spark, sf_dir)
     cfg = PipelineConfig(
         sketch=SketchParams(k=21, s=1000, seed=42), jaccard_threshold=0.7)
@@ -1257,7 +1261,8 @@ def _q_cross_dedup_decisions(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         cfg,
     )
-    out = res.decisions.select("doc_id", "is_dup", "dup_of")
+    out = res.decisions.select(
+        "doc_id", "is_dup", F.coalesce("dup_of", F.lit(-1)).alias("dup_of"))
     out = out.localCheckpoint(eager=True)
     res.release()
     return out
@@ -1553,9 +1558,12 @@ def _q_dsir_hashed_scores(spark, sf_dir):
 
 def _q_topic_counts(spark, sf_dir):
     """Unsupervised topic clustering (topics.py: hashing-TF -> IVF
-    Lloyd): docs per discovered topic (k=4). Rows-only: murmur
-    bucketing + float Lloyd; family separation and assignment
-    determinism are pytest-pinned (tests/test_topics.py)."""
+    Lloyd): docs per discovered topic (k=4). Rows-only BY CONSTRUCTION:
+    Lloyd centroids accumulate per-partition partial sums whose float
+    add order is partitioning-dependent, so no serial reference is
+    bit-exact against them (same reason the pq/ivf contract queries pin
+    n_iters=0); family separation and assignment determinism are
+    pytest-pinned (tests/test_topics.py)."""
     from mashspark.topics import assign_topics, topic_model
 
     docs = _docs(spark, sf_dir)
@@ -1768,12 +1776,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
-        # ---- tier 4: rows-only (no SQL-expressible oracle) ---------------
+        # ---- tier 4: converted in round 4 but outside a 50-query check
+        # window (seeded-expected oracles, locally verified) ---------------
         "pq_knn": _q_pq_knn,
         "ivfpq_knn": _q_ivfpq_knn,
         "compression_stats": _q_compression_stats,
-        "quality_classifier_preds": _q_quality_classifier_preds,
         "cross_dedup_decisions": _q_cross_dedup_decisions,
+        # ---- tier 5: rows-only. The ONLY remaining rows-only queries —
+        # both train by distributed partial-sum accumulation (MLlib LR /
+        # Lloyd), whose float add order is partitioning-dependent, so no
+        # serial reference can be bit-exact against them by construction.
+        "quality_classifier_preds": _q_quality_classifier_preds,
         "topic_counts": _q_topic_counts,
     }
 

@@ -854,6 +854,195 @@ def _exp_ivfpq_knn(sf_dir: str) -> pd.DataFrame:
                                   "rank": "int32"})
 
 
+# --- compression signal ------------------------------------------------------
+
+
+def _exp_compression_stats(sf_dir: str) -> pd.DataFrame:
+    """Serial zlib(level 6) sizes per doc — zlib is bit-deterministic,
+    so this checks the Arrow batching/encoding plumbing around it."""
+    import zlib
+
+    texts = _texts(sf_dir)
+    rows = []
+    for i in sorted(texts):
+        b = texts[i].encode("utf-8")
+        rows.append((i, len(b), len(zlib.compress(b, 6))))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_compressed"]
+                        ).astype("int64")
+
+
+# --- cross-corpus dedup ------------------------------------------------------
+
+
+def _exp_cross_dedup_decisions(sf_dir: str) -> pd.DataFrame:
+    """Serial replica of pipeline.dedup_against (odd ids vs the even-id
+    reference corpus): cross band join, two-tier verify at j >= 0.7,
+    best ref = (max jaccard, min ref id); novel docs emit dup_of = -1."""
+    import math
+
+    from mashspark.compare import capped_merge_sorted
+    from mashspark.minhash import sketch_text_bytes
+    from mashspark.sketch import compute_band_keys
+
+    k, s, seed, jt, bands, prefix = 21, 1000, 42, 0.7, 32, 128
+    texts = _texts(sf_dir)
+    new_ids = sorted(i for i in texts if i % 2 == 1)
+    ref_ids = sorted(i for i in texts if i % 2 == 0)
+    sk = {i: sketch_text_bytes(texts[i].encode("utf-8"), k, s, seed)
+          for i in texts}
+    bk = {i: set(np.unique(compute_band_keys(sk[i], bands, prefix)).tolist())
+          for i in texts}
+    ref_by_band: dict[int, list[int]] = {}
+    for r in ref_ids:
+        for key in bk[r]:
+            ref_by_band.setdefault(key, []).append(r)
+
+    sigma = math.sqrt(max(jt * (1.0 - jt), 0.05) / float(prefix))
+    margin = max(0.15, 6.0 * sigma)
+
+    rows = []
+    for n in new_ids:
+        cands = sorted({r for key in bk[n] for r in ref_by_band.get(key, [])})
+        best = None  # (jaccard, -ref_id)
+        for r in cands:
+            c1, d1 = capped_merge_sorted(sk[n][:prefix], sk[r][:prefix],
+                                         prefix)
+            if c1 / max(d1, 1) < jt - margin:
+                continue
+            c2, d2 = capped_merge_sorted(sk[n], sk[r], s)
+            j = c2 / d2 if d2 > 0 else 0.0
+            if j >= jt and (best is None or (j, -r) > best):
+                best = (j, -r)
+        rows.append((n, best is not None, -best[1] if best else -1))
+    return pd.DataFrame(rows, columns=["doc_id", "is_dup", "dup_of"]
+                        ).astype({"doc_id": "int64", "is_dup": "bool",
+                                  "dup_of": "int64"})
+
+
+# --- text -> hashing-TF -> SRP semantic dedup bridge -------------------------
+
+
+def _mm3_x86_32_spark(data: bytes, seed: int = 42) -> int:
+    """Murmur3_x86_32 exactly as Spark ML's HashingTF buckets string
+    terms (public Spark source: mllib HashingTF.murmur3Hash -> Murmur3_
+    x86_32.hashUnsafeBytes2 over the UTF-8 bytes, seed 42): 4-byte
+    little-endian blocks through mixK1/mixH1, the STANDARD murmur tail
+    (remaining bytes XOR-assembled into one k1, mixed, XORed into h1
+    without the h1 rotation), int32 wraparound throughout."""
+    c1, c2, mask = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * c1) & mask
+        k1 = ((k1 << 15) | (k1 >> 17)) & mask
+        return (k1 * c2) & mask
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & mask
+        return (h1 * 5 + 0xE6546B64) & mask
+
+    h1 = seed & mask
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = mix_h1(h1, mix_k1(int.from_bytes(data[i:i + 4], "little")))
+    k1 = 0
+    for shift, i in enumerate(range(aligned, n)):
+        k1 ^= data[i] << (shift * 8)
+    if n % 4:
+        h1 ^= mix_k1(k1)
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & mask
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _hashing_tf_f32(text: str, dim: int) -> np.ndarray:
+    """textstats.hashing_tf_vectors for one doc: Java-\\s tokenization of
+    the lowercased text, Spark-murmur3 bucket per term (nonNegativeMod),
+    L2 normalization with the JVM's sequential fold, float32 cast."""
+    import re
+
+    arr = np.zeros(dim, dtype=np.float64)
+    toks = [t for t in re.split("[ \t\n\x0b\f\r]+",
+                                text.lower().strip(" \t\n\x0b\f\r")) if t]
+    for t in toks:
+        arr[_mm3_x86_32_spark(t.encode("utf-8")) % dim] += 1.0
+    norm = float(np.sqrt(np.cumsum(arr * arr)[-1])) if dim else 0.0
+    if norm <= 0.0:
+        norm = 1.0
+    return (arr / norm).astype(np.float32)
+
+
+def _exp_text_vector_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Serial replica of the text -> hashing-TF -> SRP-bucketed semantic
+    dedup chain (semantic_dedup at min_cos=0.9, n_bits=6, n_tables=8):
+    candidate pairs from shared OR-construction buckets, cosine verify
+    with the JVM's sequential folds, min-id connected components."""
+    texts = _texts(sf_dir)
+    ids = sorted(texts)
+    dim, n_bits, n_tables, seed, min_cos = 256, 6, 8, 11, 0.9
+    mat32 = np.stack([_hashing_tf_f32(texts[i], dim) for i in ids])
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits * n_tables)).astype(np.float32)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+    tags = np.arange(n_tables, dtype=np.uint64) << np.uint64(n_bits + 1)
+    signs = (mat32 @ planes) > 0
+    signs = signs.reshape(len(ids), n_tables, n_bits)
+    buckets = ((signs.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+               | tags[None, :]).astype(np.int64)
+
+    by_bucket: dict[int, list[int]] = {}
+    for xi, row in enumerate(buckets):
+        for bkt in set(row.tolist()):
+            by_bucket.setdefault(bkt, []).append(xi)
+    cand: set[tuple[int, int]] = set()
+    for members in by_bucket.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+
+    mat64 = mat32.astype(np.float64)
+    sq = np.cumsum(mat64 * mat64, axis=1)[:, -1]  # JVM sequential fold
+    norms = np.sqrt(sq)
+    edges = []
+    for xa, xb in cand:
+        dot = float(np.cumsum(mat64[xa] * mat64[xb])[-1])
+        cos = dot / max(norms[xa] * norms[xb], 1e-30)
+        if cos >= min_cos:
+            edges.append((ids[xa], ids[xb]))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members_of: dict[int, list[int]] = {}
+    for node in parent:
+        members_of.setdefault(find(node), []).append(node)
+    rows = []
+    for ms in members_of.values():
+        rep = min(ms)
+        for i in sorted(ms):
+            rows.append((i, rep, len(ms), i == rep))
+    return pd.DataFrame(
+        rows, columns=["vec_id", "rep_id", "cluster_size", "is_rep"],
+    ).astype({"vec_id": "int64", "rep_id": "int64",
+              "cluster_size": "int64", "is_rep": "bool"})
+
+
 # --- tiered dedup report -----------------------------------------------------
 
 
@@ -1010,4 +1199,7 @@ EXPECTED = {
     "unigram_encoded_lengths": _exp_unigram_encoded_lengths,
     "pq_knn": _exp_pq_knn,
     "ivfpq_knn": _exp_ivfpq_knn,
+    "compression_stats": _exp_compression_stats,
+    "cross_dedup_decisions": _exp_cross_dedup_decisions,
+    "text_vector_dup_groups": _exp_text_vector_dup_groups,
 }
