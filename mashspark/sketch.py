@@ -340,13 +340,17 @@ def make_sketch_arrow_gen(params: SketchParams, lsh: LSHParams,
 
             all_h = hash_shingles_concat(big, k, seed)
 
-            sk_parts, bk_parts = [], []
+            # per-row: only the bottom-k itself. Band keys and fp128 go
+            # through their BATCH kernels (one stable argsort/reduceat
+            # over the whole batch, bit-identical to the per-doc forms —
+            # asserted by tests): the per-doc calls were ~2/3 of this
+            # generator's CPU (profiled round 4: 0.89 s of 1.31 s at
+            # 5k docs — the round-3 q1 sketch regression).
+            raw_sks, sk_parts = [], []
             sk_offs = np.zeros(n_rows + 1, dtype=np.int32)
             bk_offs = np.zeros(n_rows + 1, dtype=np.int32)
             n_kmers = np.zeros(n_rows, dtype=np.int64)
             cards = np.zeros(n_rows, dtype=np.int64)
-            fp1 = np.zeros(n_rows, dtype=np.int64)
-            fp2 = np.zeros(n_rows, dtype=np.int64)
             off = 0
             for i in range(n_rows):
                 blen = int(lens[i])
@@ -359,14 +363,14 @@ def make_sketch_arrow_gen(params: SketchParams, lsh: LSHParams,
                 off += blen
                 n_kmers[i] = nk
                 cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
-                bk = compute_band_keys(sk, bands, prefix)
-                f1, f2 = sketch_fp128(sk)
-                fp1[i] = f1
-                fp2[i] = f2
+                raw_sks.append(sk)
                 sk_parts.append(encode_signed(sk))
-                bk_parts.append(bk.view(np.int64))
                 sk_offs[i + 1] = sk_offs[i] + 8 * len(sk)
-                bk_offs[i + 1] = bk_offs[i] + len(bk)
+            bkeys = batch_band_keys(raw_sks, bands, prefix)
+            fp1, fp2 = batch_fp128(raw_sks)
+            bk_parts = bkeys
+            for i in range(n_rows):
+                bk_offs[i + 1] = bk_offs[i] + len(bkeys[i])
 
             sk_values = (
                 np.concatenate(sk_parts).astype("<i8").view(np.uint8)
