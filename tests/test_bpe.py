@@ -137,3 +137,33 @@ def test_checkpoint_blocks_released(spark, docs):
 def test_train_validates_args(spark, docs):
     with pytest.raises(ValueError):
         train_bpe(docs, 0)
+
+
+def test_batched_training_parity_and_round_reduction(spark, docs):
+    """Round-4 batching: the merge sequence must stay bit-identical to
+    the serial reference while the number of Spark round-trips drops
+    well below one-per-merge (the parity-safe prefix rule)."""
+    from mashspark.bpe import train_bpe
+
+    merges = train_bpe(docs, n_merges=24)
+    assert merges == _ref_train(_TEXTS, 24)
+    assert train_bpe.last_rounds < 24, train_bpe.last_rounds
+
+    # single-candidate window degrades to exactly the serial rounds and
+    # the same sequence (the fallback path)
+    merges1 = train_bpe(docs, n_merges=10, batch_top=1)
+    assert merges1 == _ref_train(_TEXTS, 10)
+
+
+def test_relaxed_batching_round_reduction(spark, docs):
+    """strict_parity=False: rounds collapse ~batch-fold; the merge SET
+    stays a valid BPE vocabulary (every merged symbol reconstructs a
+    corpus substring) of the same size."""
+    from mashspark.bpe import train_bpe
+
+    fast = train_bpe(docs, n_merges=20, strict_parity=False)
+    assert len(fast) == 20
+    assert train_bpe.last_rounds <= 8, train_bpe.last_rounds
+    corpus = " ".join(_TEXTS)
+    for a, b in fast:
+        assert (a + b).replace("</w>", "") in corpus
