@@ -1513,10 +1513,20 @@ def _q_wet_roundtrip(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("url"),
         "text",
     )
-    path = tempfile.mkdtemp(prefix="mashspark_wet_") + "/archive"
-    write_wet(docs, path, num_files=4)
-    return read_wet(spark, path).select(
-        "url", F.md5(F.col("text")).alias("text_md5"))
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mashspark_wet_")
+    try:
+        path = f"{work}/archive"
+        write_wet(docs, path, num_files=4)
+        # eager checkpoint pins the decoded rows in memory so the temp
+        # archive can be removed immediately (ADVICE round 3: the dirs
+        # leaked once per contract/bench run)
+        return read_wet(spark, path).select(
+            "url", F.md5(F.col("text")).alias("text_md5")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_warc_roundtrip(spark, sf_dir):
@@ -1535,10 +1545,17 @@ def _q_warc_roundtrip(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("url"),
         F.encode(F.col("text"), "UTF-8").alias("html"),
     )
-    path = tempfile.mkdtemp(prefix="mashspark_warc_") + "/archive"
-    write_warc(docs, path, num_files=4, compress=True)
-    return read_warc(spark, path).select(
-        "url", "warc_ts", F.md5(F.col("html")).alias("html_md5"))
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mashspark_warc_")
+    try:
+        path = f"{work}/archive"
+        write_warc(docs, path, num_files=4, compress=True)
+        return read_warc(spark, path).select(
+            "url", "warc_ts", F.md5(F.col("html")).alias("html_md5")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_dsir_hashed_scores(spark, sf_dir):

@@ -524,29 +524,38 @@ def cmd_clean(spark: SparkSession, args) -> int:
     docs = load_docs(spark, args.input)
     stages = {"input": docs.count()}
     cur = docs
+
+    def _materialize(df):
+        # checkpoint each surviving stage BEFORE its funnel count: the
+        # count and every later stage (and the final write) would
+        # otherwise re-run the whole upstream filter/join chain from the
+        # scan — multiplying the full cleaning cost per stage
+        return df.localCheckpoint(eager=True)
+
     if args.gopher:
         from .repetition import gopher_quality_flags
 
         flags = gopher_quality_flags(cur, sep=args.sep)
-        cur = cur.join(flags.filter("keep").select("doc_id"), "doc_id")
+        cur = _materialize(
+            cur.join(flags.filter("keep").select("doc_id"), "doc_id"))
         stages["gopher"] = cur.count()
     if not args.no_c4_lines:
         lf = c4_line_filters(cur, sep=args.sep, min_words=args.min_words)
         kept = lf.filter("keep_page").select(
             "doc_id", F.col("cleaned").alias("text"))
-        cur = cur.drop("text").join(kept, "doc_id")
+        cur = _materialize(cur.drop("text").join(kept, "doc_id"))
         stages["c4_lines"] = cur.count()
     if args.min_docs:
         from .repetition import remove_boilerplate
 
         rb = remove_boilerplate(cur, min_docs=args.min_docs, sep=args.sep)
-        cur = cur.drop("text").join(
-            rb.select("doc_id", F.col("cleaned").alias("text")), "doc_id")
+        cur = _materialize(cur.drop("text").join(
+            rb.select("doc_id", F.col("cleaned").alias("text")), "doc_id"))
         stages["boilerplate"] = cur.count()
     if args.span_n:
         sd = span_dedup(cur, n=args.span_n, sep=args.sep)
-        cur = cur.drop("text").join(
-            sd.select("doc_id", F.col("cleaned").alias("text")), "doc_id")
+        cur = _materialize(cur.drop("text").join(
+            sd.select("doc_id", F.col("cleaned").alias("text")), "doc_id"))
         stages["span_dedup"] = cur.count()
     cur.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"funnel": stages, "output": args.output}),

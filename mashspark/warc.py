@@ -82,10 +82,18 @@ def _records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             if sep:
                 headers[k.strip().lower().decode("ascii", "replace")] = (
                     v.strip().decode("utf-8", "replace"))
+        clen_raw = headers.get("content-length")
         try:
-            clen = int(headers.get("content-length", "0"))
+            clen = int(clen_raw) if clen_raw is not None else None
         except ValueError:
-            clen = 0
+            clen = None
+        if clen is None or clen < 0:
+            # A record without a parseable Content-Length has no knowable
+            # payload boundary. Resyncing by banner search would violate
+            # the module guarantee above (payload bytes containing the
+            # banner would be mis-framed as a new record), so the rest of
+            # this member is dropped at the malformed record instead.
+            break
         body_start = hdr_end + len(_HDR_END)
         yield headers, data[body_start:body_start + clen]
         i = body_start + clen
