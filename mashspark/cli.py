@@ -78,8 +78,19 @@ def _is_sketch_table(path: str) -> bool:
 def load_or_sketch(spark: SparkSession, path: str, params: SketchParams,
                    lsh: LSHParams) -> DataFrame:
     """A committed sketch table loads with params enforcement
-    (Sketch.cpp:133-160 refuses mismatched files); anything else is a
-    document table sketched on the fly."""
+    (Sketch.cpp:133-160 refuses mismatched files); a ``.msh`` file from
+    a real Mash install decodes through the Cap'n Proto interop reader
+    (msh.py) with the same enforcement; anything else is a document
+    table sketched on the fly."""
+    if path.endswith(".msh"):
+        from .msh import msh_to_sketches
+
+        # reference behavior: a sketch FILE's header params override CLI
+        # flags (mash ignores -k/-s when loading .msh); cross-input
+        # compatibility is still enforced downstream via the embedded
+        # schema metadata (paste/cross_dist, Sketch.cpp:133-160)
+        df, _emb = msh_to_sketches(spark, path)
+        return df
     if _is_sketch_table(path):
         return mio.read_sketches(spark, path, params=params)
     return sketch_documents(load_docs(spark, path), params, lsh)
@@ -132,10 +143,16 @@ def cmd_dist(spark: SparkSession, args) -> int:
     """mash dist (CommandDistance.cpp): every ref × query pair with
     (distance, p-value, shared/denom); -d/-v filters; -b best-k hits per
     query (the compiled-out find -b shape)."""
+    from .params import params_from_schema
+
     params = _sketch_params(args)
     lsh = LSHParams()
     ref = load_or_sketch(spark, args.reference, params, lsh)
     qry = load_or_sketch(spark, args.query, params, lsh)
+    # sketch-file inputs carry their build params; adopt them (mash
+    # ignores CLI -k/-s when reading .msh) — cross_dist still refuses
+    # ref/query tables whose embedded params disagree
+    params = params_from_schema(ref) or params
     pairs = cross_dist(ref, qry, params, max_distance=args.max_dist,
                        max_pvalue=args.max_pvalue, with_pvalue=True)
     if args.best:
