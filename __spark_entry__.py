@@ -932,14 +932,16 @@ def _q_video_frame_samples(spark, sf_dir):
 
 
 def _q_media_phash_dup_pairs(spark, sf_dir):
-    """Perceptual-hash media dedup END TO END through the REAL BMP codec:
+    """Perceptual-hash media dedup END TO END through the REAL codecs:
     one deterministic gradient image per doc_id < 40 (seeded by the id,
-    so the table is partitioning-invariant), plus a brightness-shifted
-    copy at id+100 — a true near-dup that exact content hashing misses.
-    dHash via Arrow mapInPandas, Hamming pairs via the Manku block
-    equi-join. Rows-only check: the decode + area-mean resize + gradient
-    hash is not SQL-expressible; the kernel and the planted-pair recall
-    are pinned by tests/test_phash.py instead."""
+    so the table is partitioning-invariant) as uncompressed BMP, plus a
+    brightness-shifted BMP copy at id+100 AND a lossy baseline-JPEG
+    re-encode (q85, 4:2:0; pure-numpy jpeg.py decoder on the read side)
+    at id+200 — true near-dups that exact content hashing misses, across
+    container formats. dHash via Arrow mapInPandas, Hamming pairs via
+    the Manku block equi-join. Seeded-expected oracle: the serial
+    reference replays the generator, decodes through the same
+    golden-tested kernels, and brute-forces all pairs."""
     from mashspark.phash import phash_dup_pairs, phash_media
 
     _seed("media_phash_dup_pairs", sf_dir)
@@ -949,6 +951,7 @@ def _q_media_phash_dup_pairs(spark, sf_dir):
         import pandas as pd
 
         from mashspark.codecs import encode_bmp
+        from mashspark.jpeg import encode_jpeg
 
         for pdf in batches:
             ids, payloads = [], []
@@ -957,16 +960,21 @@ def _q_media_phash_dup_pairs(spark, sf_dir):
                 rng = np.random.default_rng(10_000 + base_id)
                 block = rng.integers(40, 200, size=(8, 8, 3), dtype=np.uint8)
                 img = np.repeat(np.repeat(block, 4, axis=0), 4, axis=1)
-                if int(mid) >= 100:  # planted near-dup: +15 brightness
+                if 100 <= int(mid) < 200:  # planted near-dup: +15 brightness
                     img = (img.astype(np.int32) + 15).clip(0, 255).astype(np.uint8)
                 ids.append(int(mid))
-                payloads.append(encode_bmp(img))
+                if int(mid) >= 200:  # planted near-dup: lossy JPEG re-encode
+                    payloads.append(encode_jpeg(img, quality=85, subsample=True))
+                else:
+                    payloads.append(encode_bmp(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     base = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select(
         F.col("doc_id").alias("media_id"))
     media = base.unionAll(
         base.select((F.col("media_id") + 100).alias("media_id"))
+    ).unionAll(
+        base.select((F.col("media_id") + 200).alias("media_id"))
     ).mapInPandas(make_images, "media_id long, payload binary")
     hashes = phash_media(media)
     return phash_dup_pairs(hashes, max_hamming=6).select("id_a", "id_b", "hamming")

@@ -4,10 +4,14 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 Decode is REAL for codec-free container formats — WAV PCM/float audio,
 uncompressed 24-bit BMP, binary PNM, Y4M uncompressed video
 (``codecs.py``, pure numpy, magic-byte dispatch in ``decode_media``) —
-plus a real area-mean resize, a real audio energy/autocorrelation
-plane, and real video frame sampling (``sample_video_frames``). Compressed formats (JPEG, PNG,
-MP3, MP4) route to the documented STUB (``_decode_image_stub``) because
-this container ships no codec libraries; a real deployment plugs
+AND for baseline JPEG (``jpeg.py``: pure-numpy ITU-T T.81 baseline
+sequential decoder — Huffman + dequant + IDCT + chroma upsample —
+written from the public spec because this container ships no codec
+libraries), plus a real area-mean resize, a real audio
+energy/autocorrelation plane, and real video frame sampling
+(``sample_video_frames``). Remaining compressed formats (PNG, MP3,
+MP4, progressive/arithmetic JPEG) route to the documented STUB
+(``_decode_image_stub``); a real deployment plugs
 Pillow/libvips/ffmpeg into that branch. Everything Spark-side is real
 and tested: schemas, batch iteration, partition-size control, and
 deterministic features so downstream operators (dedup over content
@@ -73,7 +77,9 @@ def decode_media(payload: bytes) -> np.ndarray:
     * ``RIFF..WAVE`` -> real WAV decode -> energy/autocorrelation plane
     * ``BM`` -> real BMP decode -> luma plane (mean over RGB / 255)
     * ``P5``/``P6`` -> real PNM decode -> luma plane
-    * anything else (JPEG/PNG/... need codec libs) -> deterministic stub
+    * ``FF D8`` -> real baseline-JPEG decode (``jpeg.py``) -> luma plane
+    * anything else (PNG/progressive JPEG/... need codec libs) ->
+      deterministic stub
 
     A malformed payload with a recognized magic falls back to the stub
     instead of failing the task (corrupt rows are data, not bugs, at
@@ -84,6 +90,13 @@ def decode_media(payload: bytes) -> np.ndarray:
         if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _rate = codecs.decode_wav(payload)
             return codecs.audio_energy_plane(samples)
+        if payload[:2] == b"\xFF\xD8":
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            return img.astype(np.float32) / 255.0
         if payload[:9] == b"YUV4MPEG2":
             frames, _fps = codecs.decode_y4m(payload)
             # whole-video feature: temporal mean of the luma planes

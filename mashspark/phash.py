@@ -5,8 +5,9 @@ A 64-bit difference hash (dHash, Krawetz 2013) or average hash (aHash)
 is computed over each payload's decoded 2-D plane: real codecs for the
 codec-free containers (BMP / PNM images -> luma plane, WAV audio ->
 energy/autocorrelation plane, Y4M video -> temporal-mean luma plane; see
-``multimodal.decode_media``), deterministic stub for compressed formats
-the sandbox can't decode. dHash takes the sign of horizontal gradients
+``multimodal.decode_media``) plus baseline JPEG (pure-numpy ``jpeg.py``),
+deterministic stub for the remaining compressed formats the sandbox
+can't decode. dHash takes the sign of horizontal gradients
 on an area-mean 8x9 downscale, which makes it invariant to uniform
 brightness shifts, global amplitude scaling (audio), and resolution
 changes — the transformations that defeat exact content-hash dedup.
@@ -72,7 +73,7 @@ def ahash_from_plane(plane: np.ndarray) -> int:
     )
 
 
-_REAL_MAGICS = (b"BM", b"P5", b"P6", b"RIFF", b"YUV4MPEG2")
+_REAL_MAGICS = (b"BM", b"P5", b"P6", b"RIFF", b"YUV4MPEG2", b"\xFF\xD8")
 
 
 def _looks_real(b: bytes) -> bool:

@@ -294,25 +294,29 @@ def _exp_srp_bucket_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def _exp_media_phash_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Replays the query's deterministic BMP generator, dHash per image
-    (mashspark.phash kernel over the real BMP decode), brute-force
-    all-pairs Hamming <= 6."""
+    """Replays the query's deterministic generator (BMP originals,
+    brightness-shifted BMPs at +100, lossy baseline-JPEG re-encodes at
+    +200), dHash per image (mashspark.phash kernel over the real BMP /
+    JPEG decode), brute-force all-pairs Hamming <= 6."""
     from mashspark.codecs import encode_bmp
+    from mashspark.jpeg import encode_jpeg
     from mashspark.multimodal import decode_media
     from mashspark.phash import dhash_from_plane
 
     d = load_docs(sf_dir)
     base_ids = [int(i) for i in d["doc_id"] if int(i) < 40]
-    media_ids = base_ids + [i + 100 for i in base_ids]
+    media_ids = base_ids + [i + 100 for i in base_ids] + [i + 200 for i in base_ids]
     sigs = {}
     for mid in media_ids:
         base_id = mid % 100
         rng = np.random.default_rng(10_000 + base_id)
         block = rng.integers(40, 200, size=(8, 8, 3), dtype=np.uint8)
         img = np.repeat(np.repeat(block, 4, axis=0), 4, axis=1)
-        if mid >= 100:
+        if 100 <= mid < 200:
             img = (img.astype(np.int32) + 15).clip(0, 255).astype(np.uint8)
-        sigs[mid] = np.uint64(dhash_from_plane(decode_media(encode_bmp(img))))
+        payload = (encode_jpeg(img, quality=85, subsample=True)
+                   if mid >= 200 else encode_bmp(img))
+        sigs[mid] = np.uint64(dhash_from_plane(decode_media(payload)))
     ids = sorted(sigs)
     rows = []
     for x in range(len(ids)):

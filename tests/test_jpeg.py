@@ -1,0 +1,165 @@
+"""Baseline-JPEG codec (jpeg.py): DCT orthonormality, encode/decode
+round trips across quality / subsampling / restart intervals / odd
+dimensions / grayscale, structural strictness (progressive + truncated
+streams refused), quality monotonicity, and the multimodal dispatch
+(FF D8 payloads now take the REAL decode path, with stub fallback for
+non-baseline streams)."""
+
+import numpy as np
+import pytest
+
+from mashspark.jpeg import (_dct_matrix, decode_jpeg, encode_jpeg,
+                            quality_to_tables, ZIGZAG)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def _test_image(h: int = 48, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128 + 100 * np.sin(yy / 6.0) * np.cos(xx / 9.0)
+    return np.stack(
+        [base, base / 2 + 40, 255 - base], axis=2
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_dct_matrix_orthonormal():
+    a = _dct_matrix()
+    assert np.abs(a @ a.T - np.eye(8)).max() < 1e-12
+
+
+def test_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot-checks: scan starts 0,1,8,16,9,2 and ends ...,55,62,63
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-3:].tolist() == [55, 62, 63]
+
+
+def test_quality_scaling_monotone_and_clamped():
+    q10, _ = quality_to_tables(10)
+    q50, _ = quality_to_tables(50)
+    q95, _ = quality_to_tables(95)
+    assert (q10 >= q50).all() and (q50 >= q95).all()
+    assert q95.min() >= 1 and q10.max() <= 255
+    # quality 50 is the unscaled Annex K table
+    from mashspark.jpeg import QUANT_LUMA
+    assert (q50 == QUANT_LUMA).all()
+
+
+def test_flat_color_roundtrip_exact():
+    img = np.full((32, 32, 3), (200, 30, 90), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+    # a constant block is pure DC; only color-transform rounding remains
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("quality,subsample,ri,floor", [
+    (90, False, 0, 40.0),
+    (90, True, 0, 33.0),   # 4:2:0: replication upsample caps chroma PSNR
+    (50, False, 0, 32.0),
+    (90, False, 2, 40.0),   # restart markers every 2 MCUs
+    (85, True, 3, 33.0),    # 4:2:0 + restarts
+])
+def test_roundtrip_psnr(quality, subsample, ri, floor):
+    img = _test_image()
+    payload = encode_jpeg(img, quality=quality, subsample=subsample,
+                          restart_interval=ri)
+    assert payload[:2] == b"\xFF\xD8" and payload[-2:] == b"\xFF\xD9"
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    assert _psnr(out, img) > floor
+
+
+def test_restart_markers_present_and_equivalent():
+    img = _test_image(24, 40)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=1))
+    rst_payload = encode_jpeg(img, quality=90, restart_interval=1)
+    # RST0 marker must actually appear in the entropy stream
+    assert b"\xFF\xD0" in rst_payload
+    # restart segmentation must not change decoded pixels
+    assert (plain == with_rst).all()
+
+
+def test_odd_dimensions_and_grayscale():
+    yy, xx = np.mgrid[0:33, 0:29]
+    g = ((yy * 7 + xx * 5) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=92))
+    assert out.shape == (33, 29) and out.ndim == 2
+    assert _psnr(out, g) > 30.0
+    # odd-dim color with 4:2:0 (chroma padding + crop path)
+    img = _test_image(37, 51)
+    out = decode_jpeg(encode_jpeg(img, quality=88, subsample=True))
+    assert out.shape == img.shape
+    assert _psnr(out, img) > 30.0
+
+
+def test_quality_monotone_mse():
+    img = _test_image()
+    lo = decode_jpeg(encode_jpeg(img, quality=30, subsample=True))
+    hi = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    mse = lambda a: np.mean((a.astype(float) - img.astype(float)) ** 2)
+    assert mse(hi) < mse(lo)
+    # higher quality also costs more bytes
+    assert len(encode_jpeg(img, quality=95)) > len(encode_jpeg(img, quality=30))
+
+
+def test_decoder_refuses_non_baseline_and_garbage():
+    img = _test_image(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=80))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = payload.index(b"\xFF\xC0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:40])  # truncated before scan
+
+
+def test_truncated_entropy_detected():
+    img = _test_image(32, 32)
+    payload = encode_jpeg(img, quality=85)
+    # cut the entropy stream in half (keep headers), re-append EOI
+    i = payload.index(b"\xFF\xDA")
+    seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+    scan_start = i + 2 + seglen
+    cut = scan_start + (len(payload) - 2 - scan_start) // 4
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:cut] + b"\xFF\xD9")
+
+
+def test_multimodal_dispatch_takes_real_jpeg_path():
+    from mashspark.multimodal import _decode_image_stub, decode_media
+
+    img = _test_image(24, 24)
+    payload = encode_jpeg(img, quality=90)
+    plane = decode_media(payload)
+    expect = decode_jpeg(payload).mean(axis=2).astype(np.float32) / 255.0
+    assert plane.shape == (24, 24)
+    assert np.allclose(plane, expect)
+    # a malformed FF D8 payload falls back to the stub, never raises
+    bad = b"\xFF\xD8" + b"\x00" * 64
+    fallback = decode_media(bad)
+    assert (fallback == _decode_image_stub(bad)).all()
+
+
+def test_phash_real_flag_covers_jpeg():
+    from mashspark.phash import _looks_real, dhash_from_plane
+    from mashspark.multimodal import decode_media
+
+    img = _test_image()
+    payload = encode_jpeg(img, quality=90)
+    assert _looks_real(payload)
+    # perceptual stability: a heavy re-encode (q60 + 4:2:0) of the same
+    # image stays within a small hamming radius of the original's dHash
+    # (saturated synthetic gradients drift more than photos; 8 bits here
+    # vs the 6-bit default pair threshold is expected for this fixture)
+    h1 = dhash_from_plane(decode_media(payload))
+    h2 = dhash_from_plane(decode_media(encode_jpeg(img, quality=60,
+                                                   subsample=True)))
+    assert bin((h1 ^ h2) & (2**64 - 1)).count("1") <= 8
