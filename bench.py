@@ -813,11 +813,22 @@ def _write_baseline_md(result: dict) -> None:
         f"Generated by bench.py (sf dir `{result['sf']}`, corpus "
         f"{N_BASE} bases, dup_prob {DUP_PROB}).",
         "",
-        "## Queries (seconds)",
-        "",
     ]
+    cond = result.get("conditions") or {}
+    if cond:
+        lines += ["## Run conditions", ""]
+        lines += [f"- {k}: {v}" for k, v in cond.items()]
+        lines += [""]
+    lines += ["## Queries (seconds)", ""]
+    probes = result.get("query_probes") or {}
     for q, s in result["queries"].items():
-        lines.append(f"- {q}: {s}")
+        p = probes.get(q)
+        # probe next to the row: burn_single healthy band ~13-17 it/s;
+        # other_busy_cores ~0 on a quiet machine — a slow row with a bad
+        # probe is a host artifact, not an engine regression
+        suffix = (f"  (burn_single={p['burn_single']} it/s, "
+                  f"other_busy_cores={p['other_busy_cores']})" if p else "")
+        lines.append(f"- {q}: {s}{suffix}")
     if tp:
         lines += ["", "## Throughput", ""]
         for k, v in tp.items():
@@ -1194,6 +1205,17 @@ def _loop_scaling(queries, result, emit, scaling, pairs, run_leg,
                            key=lambda p: p["efficiency"])
                 result["scaling"]["efficiency_source"] = (
                     "cache" if best.get("from_cache") else "live")
+            # the live channel, reported SEPARATELY from the headline:
+            # "best pair" alone would label the round "cache" whenever a
+            # cached pair happens to out-score a perfectly clean live one,
+            # hiding the fact that THIS run re-earned the gate live
+            live_matched = [p for p in pairs if p.get("window_matched")]
+            result["scaling"]["n_live_matched"] = len(live_matched)
+            if live_matched:
+                lbest = max(live_matched, key=lambda p: p["efficiency"])
+                result["scaling"]["efficiency_live_best"] = lbest["efficiency"]
+                result["scaling"]["gate_pass_live"] = bool(
+                    lbest["efficiency"] >= 0.8)
             wcs = [p["cpu_work_conservation"] for p in allp
                    if "cpu_work_conservation" in p]
             if wcs:
@@ -1259,7 +1281,31 @@ def main():
         "throughput": {},
         "scaling": {},
         "detail": {},
+        # round-3 verdict: headline deltas between rounds needed forensics
+        # to attribute (quiet capped-core session vs noisy full session).
+        # Record the run's core caps once and a host probe next to every
+        # headline row so the next round's comparison is self-contained.
+        "conditions": {
+            "bench_cpus": EFF_CPUS,
+            "host_cpus": os.cpu_count(),
+            "shuffle_partitions": EFF_CPUS * 2,
+            "driver_mem": os.environ.get("MASHSPARK_DRIVER_MEM", "16g"),
+            "scale_low_cores": SCALE_LOW,
+            "scale_high_cores": SCALE_LOW * 4,
+            "scale_bases": SCALE_BASES,
+        },
+        "query_probes": {},
     }
+
+    def probe(qname: str) -> None:
+        # one single-threaded subprocess burn + other-process busy-core
+        # reading PER HEADLINE ROW (healthy burn ~13-17 it/s on this host;
+        # busy_cores ~0 on a quiet machine) — ~2 s per query, and it makes
+        # a slow row distinguishable from a throttled-host row in place
+        result["query_probes"][qname] = {
+            "burn_single": round(_burn_rate(0.8), 2),
+            "other_busy_cores": round(_busy_cores(0.5), 2),
+        }
 
     def emit():
         result["value"] = round(sum(queries.values()), 2)
@@ -1303,6 +1349,7 @@ def main():
     result["throughput"]["sf_sketch_docs_per_sec"] = round(
         n_sf / queries["q1_sketch_sf_docs"], 1
     )
+    probe("q1_sketch_sf_docs")
     emit()
 
     # -- q2: full dedup pipeline on sf documents
@@ -1312,6 +1359,7 @@ def main():
     result["detail"]["sf_docs"] = {
         "n_docs": n_docs, "n_clusters": n_clusters, "n_pairs": n_pairs,
     }
+    probe("q2_dedup_sf_docs")
     emit()
 
     # -- q3: full dedup pipeline on synthetic webtext at full parallelism
@@ -1325,6 +1373,7 @@ def main():
     result["throughput"]["webtext_docs_per_sec_full"] = round(
         n_docs_w / queries["q3_dedup_webtext"], 1
     )
+    probe("q3_dedup_webtext")
     emit()
 
     # -- q7 (runs as part of the webtext block): dup-pair recall gate
@@ -1373,6 +1422,7 @@ def main():
     sk_sub.unpersist()
     truth.unpersist()
     res_sub.release()
+    probe("q7_recall_gate")
     emit()
 
     # -- q4: simhash dedup on webtext
@@ -1382,6 +1432,7 @@ def main():
     sigs = simhash_documents(web, k=8)
     simhash_dup_pairs(sigs, max_hamming=3).count()
     queries["q4_simhash_webtext"] = round(time.time() - t0, 2)
+    probe("q4_simhash_webtext")
     emit()
 
     # -- q5: containment screen of 20 refs against sf documents
@@ -1392,6 +1443,7 @@ def main():
     refs_sk = sketch_documents(refs, SketchParams(), LSHParams())
     screen_op(refs_sk, docs_sf, SketchParams()).count()
     queries["q5_screen_sf_docs"] = round(time.time() - t0, 2)
+    probe("q5_screen_sf_docs")
     emit()
 
     spark.stop()
