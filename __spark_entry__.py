@@ -749,6 +749,100 @@ def _q_streaming_dedup_decisions(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _stream_two_batches(spark, sf_dir, build, name, n_docs=300, split=150,
+                        extra=None):
+    """Shared harness for the applyInPandasWithState contract queries:
+    fixture docs replayed as two micro-batches (one file per trigger),
+    batch 0 = doc_id < split at 12:00, batch 1 at 12:05; ``extra(docs)``
+    may append planted rows to batch 1. Decisions are batch-boundary
+    ROBUST by construction (the event-time column orders batch 0 before
+    batch 1, and within-batch order is (ts, doc_id) — so even if the
+    source coalesced the files into one trigger, the operators' sort
+    yields the same arrival order the serial oracle replays)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=f"mashspark_{name}_")
+    try:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < n_docs).select(
+            "doc_id", "text")
+        t0 = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        t1 = F.to_timestamp(F.lit("2024-01-01 12:05:00"))
+        b0 = docs.filter(F.col("doc_id") < split).withColumn("warc_ts", t0)
+        b1 = docs.filter(F.col("doc_id") >= split).withColumn("warc_ts", t1)
+        if extra is not None:
+            b1 = b1.unionByName(extra(docs).withColumn("warc_ts", t1))
+        indir = f"{work}/in"
+        b0.coalesce(1).write.parquet(f"{indir}/c0")
+        b1.coalesce(1).write.parquet(f"{indir}/c1")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, "
+                                    "warc_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{indir}/c*")
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt").start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_stateful_dedup_decisions(spark, sf_dir):
+    """applyInPandasWithState exact dedup: per-fingerprint state emits a
+    DECISION row per document (is_dup, first claimant, copies seen
+    before). Batch 1 plants two copies of each doc_id < 40 (ids +10M and
+    +20M). Oracle: plain SQL window over the same seeded input — the
+    operator's contract IS first-arrival order (ts, then id)."""
+    from mashspark.stateful import stateful_exact_dedup
+
+    def extra(docs):
+        dup = docs.filter(F.col("doc_id") < 40)
+        return (
+            dup.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       "text")
+            .unionByName(dup.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"))
+        )
+
+    rows = _stream_two_batches(
+        spark, sf_dir, stateful_exact_dedup, "stateful_dedup_decisions",
+        extra=extra)
+    out = [(r["doc_id"], bool(r["is_dup"]), r["first_doc_id"],
+            r["n_seen_before"]) for r in rows]
+    return spark.createDataFrame(
+        out, "doc_id long, is_dup boolean, first_doc_id long, "
+             "n_seen_before long")
+
+
+def _q_stateful_band_dup_pairs(spark, sf_dir):
+    """applyInPandasWithState near-dup candidates: per-LSH-band capped
+    registers in the streaming state store, arrivals verified with the
+    batch pipeline's capped-merge prefix kernel. Seeded-expected oracle:
+    serial two-batch replay over python-dict registers (same kernels,
+    brute-force composition)."""
+    from mashspark.stateful import stateful_band_dedup
+
+    _seed("stateful_band_dup_pairs", sf_dir)
+    params = SketchParams(k=21, s=256, seed=42)
+
+    def build(stream):
+        return stateful_band_dedup(stream, params, LSHParams(),
+                                   jaccard_threshold=0.7)
+
+    rows = _stream_two_batches(
+        spark, sf_dir, build, "stateful_band_dup_pairs")
+    out = [(r["doc_id"], r["matched_id"], r["band_key"], r["common"],
+            r["denom"], r["est_jaccard"]) for r in rows]
+    return spark.createDataFrame(
+        out, "doc_id long, matched_id long, band_key long, common int, "
+             "denom int, est_jaccard double")
+
+
 def _q_substring_dup_doc_pairs(spark, sf_dir):
     """Suffix-array-style exact-substring dedup (third north-rule family)
     via anchor hashing; at stride=1 a pair appears iff the docs share an
@@ -1764,6 +1858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trained_merges": _q_bpe_trained_merges,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "unigram_encoded_lengths": _q_unigram_encoded_lengths,
+        # ---- round 4 additions: applyInPandasWithState operators --------
+        "stateful_dedup_decisions": _q_stateful_dedup_decisions,
+        "stateful_band_dup_pairs": _q_stateful_band_dup_pairs,
         # ---- tier 3: oracle-backed, driver-green in round 3 -------------
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -2014,6 +2111,36 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        # the stateful operator's contract IS first-arrival order
+        # (micro-batch, then event ts, then doc_id), which for the
+        # query's seeded two-batch input is exactly (b, doc_id): a plain
+        # window expresses it (the op groups by xxhash64(text); grouping
+        # by text is equivalent up to a 64-bit collision)
+        "stateful_dedup_decisions": """
+            WITH inp AS (
+                SELECT doc_id, text, 0 AS b FROM documents
+                WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id, text, 1 FROM documents
+                WHERE doc_id >= 150 AND doc_id < 300
+                UNION ALL
+                SELECT doc_id + 10000000, text, 1 FROM documents
+                WHERE doc_id < 40
+                UNION ALL
+                SELECT doc_id + 20000000, text, 1 FROM documents
+                WHERE doc_id < 40
+            ),
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER w AS rn,
+                       first_value(doc_id) OVER w AS first_doc_id
+                FROM inp
+                WINDOW w AS (PARTITION BY text ORDER BY b, doc_id)
+            )
+            SELECT doc_id, rn > 1 AS is_dup, first_doc_id,
+                   CAST(rn - 1 AS BIGINT) AS n_seen_before
+            FROM r
         """,
         "quality_scores": f"""
             SELECT doc_id,

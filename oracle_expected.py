@@ -1184,8 +1184,59 @@ def _exp_unigram_encoded_lengths(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_pieces"]).astype("int64")
 
 
+def _exp_stateful_band_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Serial replay of stateful.stateful_band_dedup over the query's
+    two-batch split (doc_id < 300; batch 0 = id < 150 at 12:00, batch 1
+    at 12:05): per-band capped registers as python dicts, arrivals in
+    (batch, ts, doc_id) order, tier-1 capped-merge prefix verify — the
+    same golden-tested kernels, composed serially."""
+    from mashspark.compare import capped_merge_sorted
+    from mashspark.minhash import sketch_text_bytes
+    from mashspark.sketch import compute_band_keys
+
+    K, S, SEED = 21, 256, 42
+    BANDS, PREFIX, PL, CAP, THR = 32, 128, 128, 64, 0.7
+    docs = load_docs(sf_dir)
+    docs = docs[docs["doc_id"] < 300]
+    order = docs.sort_values("doc_id")  # ts is (batch, doc_id)-ordered
+    registers: dict[int, list] = {}
+    out = {"doc_id": [], "matched_id": [], "band_key": [],
+           "common": [], "denom": [], "est_jaccard": []}
+    for _, row in order.iterrows():
+        doc_id = int(row["doc_id"])
+        sk = sketch_text_bytes(str(row["text"]).encode(), K, S, SEED)
+        if len(sk) == 0:
+            continue
+        pref = sk[:PL]
+        for bk in compute_band_keys(sk, BANDS, PREFIX):
+            band = int(np.int64(np.uint64(bk)))
+            reg = registers.setdefault(band, [])
+            for hist_id, hist_pref in reg:
+                common, denom = capped_merge_sorted(hist_pref, pref, PL)
+                if denom > 0 and common >= THR * denom:
+                    out["doc_id"].append(doc_id)
+                    out["matched_id"].append(hist_id)
+                    out["band_key"].append(band)
+                    out["common"].append(common)
+                    out["denom"].append(denom)
+                    out["est_jaccard"].append(
+                        float(np.float64(np.int32(common))
+                              / np.float64(np.int32(denom))))
+            if len(reg) < CAP:
+                reg.append((doc_id, pref))
+    return pd.DataFrame({
+        "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+        "matched_id": np.asarray(out["matched_id"], dtype=np.int64),
+        "band_key": np.asarray(out["band_key"], dtype=np.int64),
+        "common": np.asarray(out["common"], dtype=np.int32),
+        "denom": np.asarray(out["denom"], dtype=np.int32),
+        "est_jaccard": np.asarray(out["est_jaccard"], dtype=np.float64),
+    })
+
+
 EXPECTED = {
     "minhash_dup_pairs": _exp_minhash_dup_pairs,
+    "stateful_band_dup_pairs": _exp_stateful_band_dup_pairs,
     "minhash_cluster_sizes": _exp_minhash_cluster_sizes,
     "sketch_cardinalities": _exp_sketch_cardinalities,
     "simhash_dup_pairs": _exp_simhash_dup_pairs,
