@@ -843,6 +843,36 @@ def _q_stateful_band_dup_pairs(spark, sf_dir):
              "denom int, est_jaccard double")
 
 
+def _q_snapshot_table_history(spark, sf_dir):
+    """Iceberg-style snapshot log (mashspark.snapshots): three commits
+    (append, append, overwrite) into a scratch table, then TIME TRAVEL —
+    one output row per version with the row count visible AT that
+    version. Oracle: the counts are pure fixture-derived SQL."""
+    import shutil
+    import tempfile
+
+    from mashspark import snapshots as snap
+
+    work = tempfile.mkdtemp(prefix="mashspark_snap_q_")
+    try:
+        t = f"{work}/tbl"
+        d = _docs(spark, sf_dir).select("doc_id")
+        snap.commit_append(spark, d.filter(F.col("doc_id") < 200), t)
+        snap.commit_append(
+            spark, d.filter((F.col("doc_id") >= 200)
+                            & (F.col("doc_id") < 260)), t)
+        snap.commit_overwrite(spark, d.filter(F.col("doc_id") < 30), t)
+        rows = [
+            (s["version"], s["operation"],
+             snap.read_table(spark, t, version=s["version"]).count())
+            for s in snap.snapshots(t)
+        ]
+        return spark.createDataFrame(
+            rows, "version int, operation string, n_rows long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_substring_dup_doc_pairs(spark, sf_dir):
     """Suffix-array-style exact-substring dedup (third north-rule family)
     via anchor hashing; at stride=1 a pair appears iff the docs share an
@@ -1858,9 +1888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trained_merges": _q_bpe_trained_merges,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "unigram_encoded_lengths": _q_unigram_encoded_lengths,
-        # ---- round 4 additions: applyInPandasWithState operators --------
+        # ---- round 4 additions: applyInPandasWithState operators +
+        # snapshot-log time travel --------------------------------------
         "stateful_dedup_decisions": _q_stateful_dedup_decisions,
         "stateful_band_dup_pairs": _q_stateful_band_dup_pairs,
+        "snapshot_table_history": _q_snapshot_table_history,
         # ---- tier 3: oracle-backed, driver-green in round 3 -------------
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -2111,6 +2143,17 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "snapshot_table_history": """
+            SELECT 1 AS version, 'append' AS operation,
+                   (SELECT count(*) FROM documents WHERE doc_id < 200)
+                       AS n_rows
+            UNION ALL
+            SELECT 2, 'append',
+                   (SELECT count(*) FROM documents WHERE doc_id < 260)
+            UNION ALL
+            SELECT 3, 'overwrite',
+                   (SELECT count(*) FROM documents WHERE doc_id < 30)
         """,
         # the stateful operator's contract IS first-arrival order
         # (micro-batch, then event ts, then doc_id), which for the

@@ -1,0 +1,191 @@
+"""Versioned snapshot log over parquet — the Iceberg table-format
+discipline (north rule: "per-partition lineage + metrics written
+alongside each Iceberg snapshot") implemented directly, since this
+sandbox ships no Iceberg runtime.
+
+The model is Iceberg's, scoped to what the engine needs:
+
+* **data files are immutable** — every commit writes a fresh
+  ``data/<uuid>/`` parquet directory and never touches prior ones
+  (contrast ``io.run_checkpointed``, whose resume-oriented bucket store
+  overwrites in place and keeps only the latest state);
+* a **snapshot** is a JSON manifest ``_snapshots/v<N>.json`` listing the
+  data directories visible at that version, the operation that produced
+  it (append / overwrite), the parent version, and a summary block
+  (row count, input lineage, caller metrics — the analog of Iceberg's
+  snapshot summary properties);
+* the **current version** is an atomic pointer file
+  (``_snapshots/CURRENT``, ``os.replace``) — readers never see a torn
+  table, and a writer killed before the pointer swap leaves the table
+  at its previous version with only orphaned (harmless, expirable)
+  data files;
+* **conflict detection**: the snapshot JSON is created with ``O_EXCL``,
+  so two concurrent committers race on the version file and the loser
+  retries against the winner's state — single-table optimistic
+  concurrency, the simplified form of Iceberg's commit protocol;
+* **time travel**: ``read_table(..., version=N)`` reads any retained
+  snapshot's file list; ``expire_snapshots`` is the maintenance job
+  that prunes history and deletes data directories no retained
+  snapshot references.
+
+On a real cluster this module is replaced by
+``df.writeTo(table).append()`` / ``.overwritePartitions()`` against a
+catalog-backed Iceberg table — the API surface here (append /
+overwrite / history / time travel / expire) maps one-to-one, which is
+the point: pipelines written against it carry over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snap_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_snapshots")
+
+
+def _current_path(table_path: str) -> str:
+    return os.path.join(_snap_dir(table_path), "CURRENT")
+
+
+def _snap_path(table_path: str, version: int) -> str:
+    return os.path.join(_snap_dir(table_path), f"v{version:05d}.json")
+
+
+def current_version(table_path: str) -> int | None:
+    """Version the CURRENT pointer names, or None for an empty table."""
+    try:
+        with open(_current_path(table_path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def snapshot(table_path: str, version: int) -> dict:
+    with open(_snap_path(table_path, version)) as fh:
+        return json.load(fh)
+
+
+def snapshots(table_path: str) -> list[dict]:
+    """All retained snapshots, oldest first (the table history)."""
+    sd = _snap_dir(table_path)
+    if not os.path.isdir(sd):
+        return []
+    out = []
+    for f in sorted(os.listdir(sd)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(sd, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def _commit(spark: SparkSession, df: DataFrame, table_path: str,
+            operation: str, summary: dict | None,
+            retries: int = 5) -> int:
+    """Write immutable data, then commit the snapshot: O_EXCL version
+    file + atomic CURRENT swap. The data write happens ONCE; only the
+    (cheap, metadata-level) commit step retries on a version race."""
+    data_dir = os.path.join(table_path, "data", uuid.uuid4().hex)
+    df.write.parquet(data_dir)
+    n_rows = spark.read.parquet(data_dir).count()
+    os.makedirs(_snap_dir(table_path), exist_ok=True)
+    lineage = ", ".join(str(p) for p in df.inputFiles()[:8]) or "<in-memory>"
+    for _ in range(max(1, retries)):
+        # parent = the last COMMITTED snapshot (the pointer); the version
+        # number must additionally clear any snapshot file a concurrent
+        # winner has created but not yet pointed at, or the loser would
+        # retry the same taken version forever
+        parent = current_version(table_path)
+        if operation == "append" and parent is not None:
+            files = snapshot(table_path, parent)["files"]
+        else:
+            files = []
+        taken = [int(f[1:-5]) for f in os.listdir(_snap_dir(table_path))
+                 if f.startswith("v") and f.endswith(".json")]
+        version = max([parent or 0, *taken], default=0) + 1
+        entry = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "files": files + [os.path.relpath(data_dir, table_path)],
+            "summary": {
+                "n_rows_written": n_rows,
+                "input": lineage,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                **(summary or {}),
+            },
+        }
+        try:
+            fd = os.open(_snap_path(table_path, version),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another committer won this version; re-read and retry
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh)
+        tmp = f"{_current_path(table_path)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, _current_path(table_path))
+        return version
+    raise RuntimeError(
+        f"snapshot commit to {table_path} lost {retries} version races")
+
+
+def commit_append(spark: SparkSession, df: DataFrame, table_path: str,
+                  summary: dict | None = None) -> int:
+    """New snapshot = parent's files + this write's files."""
+    return _commit(spark, df, table_path, "append", summary)
+
+
+def commit_overwrite(spark: SparkSession, df: DataFrame, table_path: str,
+                     summary: dict | None = None) -> int:
+    """New snapshot = this write's files only (full-table replace at the
+    metadata level; prior data stays readable via time travel until
+    expired)."""
+    return _commit(spark, df, table_path, "overwrite", summary)
+
+
+def read_table(spark: SparkSession, table_path: str,
+               version: int | None = None) -> DataFrame:
+    """Read the table at CURRENT (default) or any retained ``version``
+    (time travel)."""
+    v = current_version(table_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table_path} has no committed snapshot")
+    snap = snapshot(table_path, v)
+    paths = [os.path.join(table_path, f) for f in snap["files"]]
+    return spark.read.parquet(*paths)
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Iceberg-maintenance analog: retain the last ``keep_last``
+    snapshots, delete older snapshot files, and remove data directories
+    no retained snapshot references (including orphans from writers that
+    died before their pointer swap). Returns counts for audit."""
+    snaps = snapshots(table_path)
+    if not snaps:
+        return {"snapshots_removed": 0, "data_dirs_removed": 0}
+    keep = snaps[-max(1, keep_last):]
+    drop = snaps[:-max(1, keep_last)]
+    referenced = {f for s in keep for f in s["files"]}
+    data_root = os.path.join(table_path, "data")
+    removed_dirs = 0
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            rel = os.path.join("data", d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d),
+                              ignore_errors=True)
+                removed_dirs += 1
+    for s in drop:
+        try:
+            os.remove(_snap_path(table_path, s["version"]))
+        except FileNotFoundError:
+            pass
+    return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}

@@ -1,0 +1,85 @@
+"""Snapshot log: append/overwrite commits, time travel, atomic pointer,
+version-race detection, expiry of unreferenced data."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mashspark import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = snap.commit_append(spark, _df(spark, 0, 100), t)
+    v2 = snap.commit_append(spark, _df(spark, 100, 150), t)
+    assert (v1, v2) == (1, 2)
+    assert snap.read_table(spark, t).count() == 150
+    assert snap.read_table(spark, t, version=1).count() == 100
+
+    v3 = snap.commit_overwrite(spark, _df(spark, 0, 7), t)
+    assert v3 == 3 and snap.current_version(t) == 3
+    assert snap.read_table(spark, t).count() == 7
+    # history intact: every prior version still readable
+    assert snap.read_table(spark, t, version=2).count() == 150
+    hist = snap.snapshots(t)
+    assert [s["operation"] for s in hist] == ["append", "append", "overwrite"]
+    assert [s["parent"] for s in hist] == [None, 1, 2]
+    assert hist[0]["summary"]["n_rows_written"] == 100
+    # append snapshots accumulate files; overwrite resets to its own
+    assert len(hist[1]["files"]) == 2 and len(hist[2]["files"]) == 1
+
+
+def test_killed_writer_leaves_table_at_previous_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit_append(spark, _df(spark, 0, 10), t)
+    # simulate a writer that died after its data write but before the
+    # snapshot commit: an orphan data dir must not affect readers
+    orphan = os.path.join(t, "data", "deadbeef")
+    _df(spark, 0, 999).write.parquet(orphan)
+    assert snap.current_version(t) == 1
+    assert snap.read_table(spark, t).count() == 10
+    # expiry removes the orphan
+    res = snap.expire_snapshots(t, keep_last=1)
+    assert res["data_dirs_removed"] == 1
+    assert not os.path.isdir(orphan)
+    assert snap.read_table(spark, t).count() == 10
+
+
+def test_version_race_loser_retries_onto_next_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit_append(spark, _df(spark, 0, 10), t)
+    # occupy v2 as a concurrent winner would
+    winner = {"version": 2, "parent": 1, "operation": "append",
+              "files": snap.snapshot(t, 1)["files"], "summary": {}}
+    with open(snap._snap_path(t, 2), "w") as fh:
+        json.dump(winner, fh)
+    v = snap.commit_append(spark, _df(spark, 10, 20), t)
+    assert v == 3, "loser must skip the taken version"
+    # CURRENT jumped to the retried commit; its parent is the pointer's
+    # value at retry time (1 — the fake winner never swapped the pointer)
+    assert snap.current_version(t) == 3
+    assert snap.read_table(spark, t).count() == 20
+
+
+def test_expire_prunes_history_and_unreferenced_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit_append(spark, _df(spark, 0, 10), t)
+    snap.commit_overwrite(spark, _df(spark, 0, 5), t)
+    snap.commit_overwrite(spark, _df(spark, 0, 3), t)
+    res = snap.expire_snapshots(t, keep_last=1)
+    assert res == {"snapshots_removed": 2, "data_dirs_removed": 2}
+    assert [s["version"] for s in snap.snapshots(t)] == [3]
+    assert snap.read_table(spark, t).count() == 3
+    with pytest.raises(FileNotFoundError):
+        snap.read_table(spark, t, version=1)
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap.read_table(spark, str(tmp_path / "nope"))

@@ -120,6 +120,31 @@ def test_exact_ttl_evicts_state(spark, tmp_path):
     assert rows[4]["first_doc_id"] == 4
 
 
+def test_exact_decisions_under_rocksdb_state_store(spark, tmp_path):
+    """Same decisions under the RocksDB state store provider (the
+    at-scale configuration: state on local disk, not executor heap)."""
+    from mashspark.stateful import ROCKSDB_STATE_CONF
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_chunk(d / "chunk0.parquet", [_doc(1, BASE), _doc(2, OTHER)])
+    _write_chunk(d / "chunk1.parquet", [
+        _doc(10, BASE, minute=5), _doc(12, BASE, minute=6)])
+    old = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        out = _run_stream(spark, d, stateful_exact_dedup, "exact_rocksdb")
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert not rows[1]["is_dup"] and not rows[2]["is_dup"]
+    assert rows[10]["is_dup"] and rows[10]["n_seen_before"] == 1
+    assert rows[12]["is_dup"] and rows[12]["n_seen_before"] == 2
+    assert rows[12]["first_doc_id"] == 1
+
+
 @pytest.fixture()
 def band_cfg():
     return SketchParams(k=21, s=256, seed=42), LSHParams()
