@@ -843,6 +843,21 @@ def _q_stateful_band_dup_pairs(spark, sf_dir):
              "denom int, est_jaccard double")
 
 
+def _q_dedup_recall_audit(spark, sf_dir):
+    """First-class recall audit (mashspark.audit): Mash-exact ground
+    truth on the md5-uniform 1/5 sample vs the standard pipeline's
+    clusters. Seeded oracle: serial brute-force replay over the serial
+    pipeline's clusters."""
+    from mashspark.audit import dedup_recall_audit
+
+    _seed("dedup_recall_audit", sf_dir)
+    res = _pipeline(spark, sf_dir)
+    cfg = PipelineConfig(sketch=SketchParams(k=21, s=1000, seed=42),
+                         jaccard_threshold=0.7)
+    return dedup_recall_audit(_docs(spark, sf_dir), res.clusters, cfg,
+                              sample_mod=5)
+
+
 def _q_snapshot_table_history(spark, sf_dir):
     """Iceberg-style snapshot log (mashspark.snapshots): three commits
     (append, append, overwrite) into a scratch table, then TIME TRAVEL —
@@ -1893,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_dedup_decisions": _q_stateful_dedup_decisions,
         "stateful_band_dup_pairs": _q_stateful_band_dup_pairs,
         "snapshot_table_history": _q_snapshot_table_history,
+        "dedup_recall_audit": _q_dedup_recall_audit,
         # ---- tier 3: oracle-backed, driver-green in round 3 -------------
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,

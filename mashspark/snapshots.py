@@ -151,6 +151,30 @@ def commit_overwrite(spark: SparkSession, df: DataFrame, table_path: str,
     return _commit(spark, df, table_path, "overwrite", summary)
 
 
+def commit_merge(spark: SparkSession, updates: DataFrame, table_path: str,
+                 key_col: str, summary: dict | None = None) -> int:
+    """Copy-on-write MERGE (the Iceberg ``MERGE INTO`` analog, upsert
+    form): rows of the current table whose ``key_col`` appears in
+    ``updates`` are replaced, new keys are inserted, everything else is
+    carried over. The re-crawl shape: upsert each crawl's pages by
+    canonical URL and time-travel across crawls.
+
+    Copy-on-write = the merged relation is rewritten as one new
+    overwrite snapshot. One anti-join (hash-partitioned on the key;
+    broadcast when updates are small — AQE decides) + one union; the
+    prior snapshot stays readable until expired. Scale note: rewriting
+    the whole table per merge is the COW trade-off — at Iceberg scale
+    merge-on-read deletes bound the rewrite to touched partitions;
+    partition the table (e.g. by key bucket) and merge per-partition to
+    get the same bound here."""
+    if current_version(table_path) is None:
+        return _commit(spark, updates, table_path, "merge", summary)
+    cur = read_table(spark, table_path)
+    keys = updates.select(key_col).distinct()
+    merged = cur.join(keys, key_col, "left_anti").unionByName(updates)
+    return _commit(spark, merged, table_path, "merge", summary)
+
+
 def read_table(spark: SparkSession, table_path: str,
                version: int | None = None) -> DataFrame:
     """Read the table at CURRENT (default) or any retained ``version``

@@ -1184,6 +1184,40 @@ def _exp_unigram_encoded_lengths(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_pieces"]).astype("int64")
 
 
+def _exp_dedup_recall_audit(sf_dir: str) -> pd.DataFrame:
+    """Serial replay of audit.dedup_recall_audit at sample_mod=5 over the
+    standard-config pipeline clusters: md5-uniform sample, brute-force
+    full-s capped-merge ground truth, recovered = same serial-CC label."""
+    import hashlib
+
+    from mashspark.compare import capped_merge_sorted
+
+    pipe = _serial_pipeline(sf_dir)
+    sketches, clusters = pipe["sketches"], pipe["clusters"]
+
+    def u(i: int) -> int:
+        return int(hashlib.md5(f"audit:42:{i}".encode()).hexdigest()[:8], 16)
+
+    sample = sorted(i for i in _texts(sf_dir) if u(i) % 5 == 0)
+    s_full, jt = 1000, 0.7
+    tp = rp = 0
+    for x in range(len(sample)):
+        for y in range(x + 1, len(sample)):
+            a, b = sample[x], sample[y]
+            c, d = capped_merge_sorted(sketches[a], sketches[b], s_full)
+            j = c / d if d > 0 else 0.0
+            if j >= jt:
+                tp += 1
+                if clusters[a] == clusters[b]:
+                    rp += 1
+    return pd.DataFrame({
+        "n_sample": np.asarray([len(sample)], dtype=np.int64),
+        "true_pairs": np.asarray([tp], dtype=np.int64),
+        "recovered_pairs": np.asarray([rp], dtype=np.int64),
+        "recall": np.asarray([rp / tp if tp else 1.0], dtype=np.float64),
+    })
+
+
 def _exp_stateful_band_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Serial replay of stateful.stateful_band_dedup over the query's
     two-batch split (doc_id < 300; batch 0 = id < 150 at 12:00, batch 1
@@ -1237,6 +1271,7 @@ def _exp_stateful_band_dup_pairs(sf_dir: str) -> pd.DataFrame:
 EXPECTED = {
     "minhash_dup_pairs": _exp_minhash_dup_pairs,
     "stateful_band_dup_pairs": _exp_stateful_band_dup_pairs,
+    "dedup_recall_audit": _exp_dedup_recall_audit,
     "minhash_cluster_sizes": _exp_minhash_cluster_sizes,
     "sketch_cardinalities": _exp_sketch_cardinalities,
     "simhash_dup_pairs": _exp_simhash_dup_pairs,

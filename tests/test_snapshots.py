@@ -83,3 +83,25 @@ def test_expire_prunes_history_and_unreferenced_data(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snap.read_table(spark, str(tmp_path / "nope"))
+
+
+def test_commit_merge_upserts_by_key(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"old-{i}") for i in range(10)], "url_id long, text string")
+    snap.commit_merge(spark, base, t, "url_id")
+    upd = spark.createDataFrame(
+        [(3, "new-3"), (7, "new-7"), (100, "new-100")],
+        "url_id long, text string")
+    v = snap.commit_merge(spark, upd, t, "url_id")
+    assert v == 2
+    got = {r["url_id"]: r["text"]
+           for r in snap.read_table(spark, t).collect()}
+    assert len(got) == 11
+    assert got[3] == "new-3" and got[7] == "new-7" and got[100] == "new-100"
+    assert got[0] == "old-0"
+    # the pre-merge crawl is still readable via time travel
+    old = {r["url_id"]: r["text"]
+           for r in snap.read_table(spark, t, version=1).collect()}
+    assert old[3] == "old-3" and 100 not in old
+    assert snap.snapshots(t)[-1]["operation"] == "merge"
