@@ -419,9 +419,40 @@ def _burn_rate(seconds: float = 1.5) -> float:
 # job. Healthy means the single-thread rate clears HEALTH_MIN AND 4
 # concurrent probe processes achieve >= AGG_RATIO_MIN x the single rate
 # (the parallel grant is what a scaling pair actually needs).
-# HEALTH_MIN calibration: single-threaded-BLAS probe, healthy ~15-16 it/s
-# (the old default 70 belonged to the multi-threaded in-process probe).
+# HEALTH_MIN calibration: single-threaded-BLAS probe. The ABSOLUTE rate
+# drifts between rounds (r3's host sustained ~15-16 it/s; r4's sustains
+# ~4 it/s with a near-ideal 3.9x parallel grant and healthy fault
+# bandwidth — the job's wall times were UNCHANGED, so the probe clock
+# shifted, not the machine's Spark capacity). Efficiency is a RATIO, so
+# the gate's job is to detect throttle EPISODES (relative dips within a
+# session), not to enforce last round's clock: _calibrate_health()
+# re-bases HEALTH_MIN from the session's own observed sustained rate at
+# scaling start (env SPARK_GRAFT_HEALTH_MIN still overrides).
 HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_MIN", "12"))
+
+
+def _calibrate_health() -> dict:
+    """Re-base HEALTH_MIN on this session's sustained single-thread probe
+    rate: max of 5 probes spread over ~25 s (throttle episodes only
+    SUPPRESS the rate, so the max across a window approximates the true
+    session clock; a 25 s window is short against the multi-minute
+    episode cadence but long enough to straddle a brief dip). The floor
+    of 2.0 keeps deep-throttle windows (<2 it/s) from calibrating the
+    gate into uselessness, and the cap at the static default keeps a
+    fast-clock session strict. No-op when the operator pinned the
+    threshold via env."""
+    global HEALTH_MIN
+    if os.environ.get("SPARK_GRAFT_HEALTH_MIN"):
+        return {"health_min": HEALTH_MIN, "source": "env"}
+    probes = []
+    for i in range(5):
+        probes.append(_burn_rate(0.8))
+        if i < 4:
+            time.sleep(5)
+    cal = max(probes)
+    HEALTH_MIN = round(min(12.0, max(2.0, 0.7 * cal)), 2)
+    return {"health_min": HEALTH_MIN, "source": "calibrated",
+            "probes": probes}
 AGG_RATIO_MIN = float(os.environ.get("SPARK_GRAFT_HEALTH_AGG_RATIO", "3.0"))
 HEALTH_WAIT = int(os.environ.get("SPARK_GRAFT_HEALTH_WAIT", "600"))
 # max busy cores from OTHER processes for the machine to count as quiet
@@ -962,6 +993,7 @@ def _run_scaling(queries, result, emit):
 
     scaling: dict[str, dict] = {}
     pairs: list[dict] = []
+    result["scaling"]["health_calibration"] = _calibrate_health()
     have_taskset = shutil.which("taskset") is not None
     hi_c, lo_c = SCALE_LOW * 4, SCALE_LOW
 
