@@ -68,9 +68,13 @@ def dedup_recall_audit(docs: DataFrame, clusters: DataFrame,
                              F.col("cluster_id").alias("ca"))
         cb = clusters.select(F.col("doc_id").alias("id_b"),
                              F.col("cluster_id").alias("cb"))
+        # LEFT joins: a true pair whose member has no cluster row is a
+        # MISS (hit=0), not a silently-dropped denominator row — matters
+        # when auditing a competing assignment that only lists dup docs
         scored = (
-            truth.join(ca, "id_a").join(cb, "id_b")
-            .select((F.col("ca") == F.col("cb")).cast("long").alias("hit"))
+            truth.join(ca, "id_a", "left").join(cb, "id_b", "left")
+            .select(F.coalesce(F.col("ca") == F.col("cb"), F.lit(False))
+                    .cast("long").alias("hit"))
         )
         n_sample = sk.count()
         # materialize eagerly (one driver row): returning the lazy plan
