@@ -148,11 +148,13 @@ def cmd_dist(spark: SparkSession, args) -> int:
     params = _sketch_params(args)
     lsh = LSHParams()
     ref = load_or_sketch(spark, args.reference, params, lsh)
-    qry = load_or_sketch(spark, args.query, params, lsh)
-    # sketch-file inputs carry their build params; adopt them (mash
-    # ignores CLI -k/-s when reading .msh) — cross_dist still refuses
-    # ref/query tables whose embedded params disagree
+    # sketch-file inputs carry their build params; adopt them BEFORE
+    # sketching the query side (mash ignores CLI -k/-s when reading
+    # .msh) — otherwise a non-default-param reference forces a raw
+    # query table to be sketched with the CLI params and cross_dist's
+    # compatibility check refuses the pair it was supposed to serve
     params = params_from_schema(ref) or params
+    qry = load_or_sketch(spark, args.query, params, lsh)
     pairs = cross_dist(ref, qry, params, max_distance=args.max_dist,
                        max_pvalue=args.max_pvalue, with_pvalue=True)
     if args.best:
@@ -188,9 +190,14 @@ def cmd_triangle(spark: SparkSession, args) -> int:
 def cmd_screen(spark: SparkSession, args) -> int:
     """mash screen (CommandScreen.cpp): containment of each ref sketch in
     a raw mixture; -w winner-take-all, -i identity floor, -v p-value."""
+    from .params import params_from_schema
+
     params = _sketch_params(args)
     lsh = LSHParams()
     refs = load_or_sketch(spark, args.reference, params, lsh)
+    # screen shingles the raw mixture with the REFERENCE sketches' k
+    # (CommandScreen.cpp takes k from the .msh); adopt before screening
+    params = params_from_schema(refs) or params
     mixture = load_docs(spark, args.mixture)
     hits = screen(refs, mixture, params,
                   min_cov=args.min_copies,
@@ -205,9 +212,14 @@ def cmd_screen(spark: SparkSession, args) -> int:
 def cmd_contain(spark: SparkSession, args) -> int:
     """mash contain / dist -C (CommandContain.cpp): containment score of
     each query sketch within each ref sketch + error bound."""
+    from .params import params_from_schema
+
     params = _sketch_params(args)
     lsh = LSHParams()
     ref = load_or_sketch(spark, args.reference, params, lsh)
+    # adopt a sketch-file reference's params before sketching the query
+    # (same rule as cmd_dist; mash ignores CLI -k/-s for .msh inputs)
+    params = params_from_schema(ref) or params
     qry = load_or_sketch(spark, args.query, params, lsh)
     cands = (ref.select(F.col("doc_id").alias("id_a"))
              .crossJoin(qry.select(F.col("doc_id").alias("id_b"))))

@@ -537,6 +537,25 @@ def _reconstruct(comps: list[_Component], qtables: dict,
 # ---------------------------------------------------------------------------
 # Encoder
 
+_STD_ENCODE_TABLES: tuple[_HuffTable, ...] | None = None
+
+
+def _std_encode_tables() -> tuple[_HuffTable, ...]:
+    """The four fixed Annex K tables the encoder uses, built once per
+    process: _HuffTable.__init__ also fills the 65536-entry decode LUTs
+    (~768 KB of slice writes) the encoder never reads, so rebuilding
+    them per image made mapInPandas encode loops pay a constant-table
+    cost per row."""
+    global _STD_ENCODE_TABLES
+    if _STD_ENCODE_TABLES is None:
+        _STD_ENCODE_TABLES = (
+            _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS),
+            _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS),
+            _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        )
+    return _STD_ENCODE_TABLES
+
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = False, restart_interval: int = 0) -> bytes:
@@ -592,10 +611,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         quant = np.round(zz / qzz[None, :]).astype(np.int32)
         comp_blocks.append((quant, bw))
 
-    dc_y = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_y = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    dc_y, ac_y, dc_c, ac_c = _std_encode_tables()
 
     bw_ = _BitWriter()
     entropy = bytearray()

@@ -20,6 +20,7 @@ hashes, ANN over extracted features) run end-to-end.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -109,7 +110,12 @@ def decode_media(payload: bytes) -> np.ndarray:
             if img.ndim == 3:
                 img = img.mean(axis=2)
             return img.astype(np.float32) / 255.0
-    except ValueError:
+    except (ValueError, IndexError, KeyError, struct.error):
+        # corrupt rows are data, not bugs: truncated/malformed payloads
+        # (routine in crawls) raise any of these from the pure-python
+        # codecs (e.g. decode_jpeg: IndexError past-end marker scan,
+        # struct.error on short segments, KeyError on stripped DHT) —
+        # all degrade to the stub instead of crashing the Spark task
         pass
     return _decode_image_stub(payload)
 

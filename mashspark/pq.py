@@ -26,13 +26,14 @@ Scale shape:
 - ENCODE (``pq_encode``): map-only Arrow pass, codebooks in the UDF
   closure; per batch one (batch x k) matmul per subspace. Codes are
   ``array<int>`` (m entries, each < k).
-- SEARCH (``pq_search``): queries are driver-sized by assumption
-  (same contract as ``ann.knn_bruteforce``); their ADC lookup tables
-  (q x m x k doubles) ride the UDF closure. One map pass over the
-  ENCODED corpus computes LUT-gathered distances and keeps a local
-  top-k per (partition, query); the global top-k merges O(partitions
-  x q x k) rows through one small window — the corpus itself never
-  shuffles and its float vectors are never touched at query time.
+- SEARCH (``pq_search``): queries stay a DataFrame end to end (no
+  driver collect — corpus-vs-corpus ANN works); only the broadcast
+  codebooks ride the closure, and each Arrow batch of queries builds
+  its ADC lookup tables executor-side. One map pass over the ENCODED
+  corpus computes LUT-gathered distances and keeps a local top-k per
+  (partition, query); the global top-k merges O(partitions x q x k)
+  rows through one small window — the corpus itself never shuffles
+  and its float vectors are never touched at query time.
 
 Reference scope note: the reference engine (marbl/Mash) quantizes
 sequences into bottom-k MinHash sketches — compact fingerprints

@@ -20,9 +20,14 @@ The model is Iceberg's, scoped to what the engine needs:
   at its previous version with only orphaned (harmless, expirable)
   data files;
 * **conflict detection**: the snapshot JSON is created with ``O_EXCL``,
-  so two concurrent committers race on the version file and the loser
-  retries against the winner's state — single-table optimistic
-  concurrency, the simplified form of Iceberg's commit protocol;
+  so two concurrent committers race on the version file — single-table
+  optimistic concurrency, the simplified form of Iceberg's commit
+  protocol. An ``append`` loser retries against the winner's file list
+  (its data is state-independent); a ``merge`` loser raises
+  ``ConcurrentCommitError`` because its merged relation was computed
+  from the pre-race table and committing it would erase the winner's
+  rows — the caller re-runs the merge; ``overwrite`` is last-writer-wins
+  by definition;
 * **time travel**: ``read_table(..., version=N)`` reads any retained
   snapshot's file list; ``expire_snapshots`` is the maintenance job
   that prunes history and deletes data directories no retained
@@ -85,12 +90,29 @@ def snapshots(table_path: str) -> list[dict]:
     return out
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A merge lost its optimistic-concurrency race: the table advanced
+    past the version the merged relation was computed against. The
+    caller must re-run the merge against the new CURRENT (the data it
+    wrote is discarded; nothing was committed)."""
+
+
 def _commit(spark: SparkSession, df: DataFrame, table_path: str,
             operation: str, summary: dict | None,
-            retries: int = 5) -> int:
+            retries: int = 5, expected_parent: int | None | str = "any",
+            ) -> int:
     """Write immutable data, then commit the snapshot: O_EXCL version
     file + atomic CURRENT swap. The data write happens ONCE; only the
-    (cheap, metadata-level) commit step retries on a version race."""
+    (cheap, metadata-level) commit step retries on a version race.
+
+    ``expected_parent``: for operations whose DATA was computed from a
+    specific table version (merge), the version the caller read. If the
+    table has advanced past it when the commit is attempted, committing
+    would silently drop the concurrent winner's rows (lost update) —
+    raise ``ConcurrentCommitError`` instead and discard the data dir.
+    ``"any"`` (append/overwrite) skips the check: append re-reads the
+    winner's file list each retry, and overwrite replaces the table
+    regardless of prior state (last-writer-wins by definition)."""
     data_dir = os.path.join(table_path, "data", uuid.uuid4().hex)
     df.write.parquet(data_dir)
     n_rows = spark.read.parquet(data_dir).count()
@@ -102,6 +124,12 @@ def _commit(spark: SparkSession, df: DataFrame, table_path: str,
         # winner has created but not yet pointed at, or the loser would
         # retry the same taken version forever
         parent = current_version(table_path)
+        if expected_parent != "any" and parent != expected_parent:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"{operation} to {table_path} computed against version "
+                f"{expected_parent} but CURRENT is now {parent}; re-run "
+                f"the {operation} against the new table state")
         if operation == "append" and parent is not None:
             files = snapshot(table_path, parent)["files"]
         else:
@@ -167,12 +195,19 @@ def commit_merge(spark: SparkSession, updates: DataFrame, table_path: str,
     merge-on-read deletes bound the rewrite to touched partitions;
     partition the table (e.g. by key bucket) and merge per-partition to
     get the same bound here."""
-    if current_version(table_path) is None:
-        return _commit(spark, updates, table_path, "merge", summary)
-    cur = read_table(spark, table_path)
+    base = current_version(table_path)
+    if base is None:
+        return _commit(spark, updates, table_path, "merge", summary,
+                       expected_parent=None)
+    cur = read_table(spark, table_path, version=base)
     keys = updates.select(key_col).distinct()
     merged = cur.join(keys, key_col, "left_anti").unionByName(updates)
-    return _commit(spark, merged, table_path, "merge", summary)
+    # the merged relation embodies the table AT ``base``: committing it
+    # after a concurrent commit would erase that winner's rows, so the
+    # commit pins expected_parent and raises ConcurrentCommitError on a
+    # race (caller re-runs the merge) rather than losing the update
+    return _commit(spark, merged, table_path, "merge", summary,
+                   expected_parent=base)
 
 
 def read_table(spark: SparkSession, table_path: str,
@@ -189,15 +224,33 @@ def read_table(spark: SparkSession, table_path: str,
 
 def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
     """Iceberg-maintenance analog: retain the last ``keep_last``
-    snapshots, delete older snapshot files, and remove data directories
-    no retained snapshot references (including orphans from writers that
-    died before their pointer swap). Returns counts for audit."""
+    snapshots of CURRENT's ANCESTRY (never raw file order — an orphaned
+    higher-version snapshot from a writer that died before its pointer
+    swap must not displace the live version), delete other snapshot
+    files at-or-below CURRENT, and remove data directories nothing
+    retained references. Snapshot files ABOVE CURRENT are left alone:
+    they may belong to a commit in flight right now (between O_EXCL
+    create and pointer swap); if their writer died they become
+    ≤-CURRENT non-ancestry on a later commit and the next expire cleans
+    them. Unreferenced data dirs (orphans from writers that died before
+    writing any snapshot file) are removed either way. Returns counts
+    for audit."""
+    cur = current_version(table_path)
     snaps = snapshots(table_path)
-    if not snaps:
+    if cur is None or not snaps:
         return {"snapshots_removed": 0, "data_dirs_removed": 0}
-    keep = snaps[-max(1, keep_last):]
-    drop = snaps[:-max(1, keep_last)]
-    referenced = {f for s in keep for f in s["files"]}
+    by_version = {s["version"]: s for s in snaps}
+    chain = []
+    v = cur
+    while v is not None and v in by_version:
+        chain.append(by_version[v])
+        v = by_version[v].get("parent")
+    keep = chain[:max(1, keep_last)]  # newest-first suffix of history
+    keep_versions = {s["version"] for s in keep}
+    inflight = [s for s in snaps if s["version"] > cur]
+    drop = [s for s in snaps
+            if s["version"] <= cur and s["version"] not in keep_versions]
+    referenced = {f for s in keep + inflight for f in s["files"]}
     data_root = os.path.join(table_path, "data")
     removed_dirs = 0
     if os.path.isdir(data_root):

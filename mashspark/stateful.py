@@ -48,6 +48,7 @@ is exactly the property both operators keep.
 from __future__ import annotations
 
 import datetime as _dt
+import re
 from typing import Any, Iterator, Tuple
 
 import numpy as np
@@ -79,13 +80,41 @@ ROCKSDB_STATE_CONF = {
 }
 
 
-def _set_ttl(state: GroupState, last, ttl_ms: int) -> None:
+def _session_tz(spark) -> _dt.tzinfo:
+    """tzinfo of ``spark.sql.session.timeZone`` — the zone in which
+    applyInPandasWithState delivers tz-NAIVE timestamp columns. Captured
+    driver-side at plan build and shipped in the UDF closure."""
+    name = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:
+        # fixed-offset ids ("+08:00", "GMT+8"); anything unparseable
+        # falls back to UTC rather than failing the stream
+        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                         name or "")
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            mins = int(m.group(2)) * 60 + int(m.group(3) or 0)
+            return _dt.timezone(sign * _dt.timedelta(minutes=mins))
+        return _dt.timezone.utc
+
+
+def _set_ttl(state: GroupState, last, ttl_ms: int,
+             tz: _dt.tzinfo = _dt.timezone.utc) -> None:
     """Event-time TTL: evict ttl past the group's last sighting. Spark
     requires the timeout timestamp to be beyond the current watermark,
-    so clamp up when a group's events trail the watermark (late data)."""
+    so clamp up when a group's events trail the watermark (late data).
+
+    ``last`` arrives tz-naive in the SESSION timezone (how Spark hands
+    timestamps to pandas UDFs), while ``setTimeoutTimestamp`` wants true
+    epoch ms — localize with the session tz, never assume UTC (a UTC+8
+    session would otherwise evict state 8 h early, re-reporting in-
+    horizon duplicates as novel)."""
     if isinstance(last, pd.Timestamp):
         last = last.to_pydatetime()
-    ts = int(last.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000) + ttl_ms
+    ts = int(last.replace(tzinfo=tz).timestamp() * 1000) + ttl_ms
     state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
 
 
@@ -128,6 +157,7 @@ def stateful_exact_dedup(stream_df: DataFrame, ts_col: str = "warc_ts",
     # the TTL branch silently never ran and state grew without bound)
     use_ttl = bool(watermark)
     ttl_ms = int(state_ttl_sec) * 1000
+    sess_tz = _session_tz(stream_df.sparkSession)
 
     def dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
@@ -151,7 +181,7 @@ def stateful_exact_dedup(stream_df: DataFrame, ts_col: str = "warc_ts",
         })
         state.update((first, int(n + len(ids))))
         if use_ttl:
-            _set_ttl(state, rows[ts_col].max(), ttl_ms)
+            _set_ttl(state, rows[ts_col].max(), ttl_ms, sess_tz)
         yield out
 
     base = stream_df.withColumn("content_fp", F.xxhash64(F.col(text_col)))
@@ -227,6 +257,7 @@ def stateful_band_dedup(stream_df: DataFrame, params: SketchParams,
     # the TTL branch silently never ran and state grew without bound)
     use_ttl = bool(watermark)
     ttl_ms = int(state_ttl_sec) * 1000
+    sess_tz = _session_tz(stream_df.sparkSession)
     thr = float(jaccard_threshold)
 
     def band_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
@@ -273,7 +304,7 @@ def stateful_band_dedup(stream_df: DataFrame, params: SketchParams,
         pref_blob = b"".join(p.astype("<i8").tobytes() for p in reg_pref)
         state.update((ids_blob, lens_blob, pref_blob, int(n_dropped)))
         if use_ttl:
-            _set_ttl(state, rows[ts_col].max(), ttl_ms)
+            _set_ttl(state, rows[ts_col].max(), ttl_ms, sess_tz)
         if out_doc:
             common_arr = np.asarray(out_common, dtype=np.int32)
             denom_arr = np.asarray(out_denom, dtype=np.int32)

@@ -84,13 +84,16 @@ def topic_balanced_sample(docs: DataFrame, centroids: np.ndarray,
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
     assigned = docs.select(id_col, text_col)
-    # persist the (id, topic) relation: it feeds BOTH the per-topic
-    # counts collect below and the returned filtered plan — without it
-    # the hashing-TF + assignment UDF runs over the full corpus twice
-    # (the dominant cost at scale). The cache is this plan's to keep:
-    # callers that materialize the result should unpersist via
-    # result.storageLevel bookkeeping or accept cache eviction.
-    topics = assign_topics(assigned, centroids, id_col, text_col).persist()
+    # materialize the (id, topic) relation ONCE: it feeds BOTH the
+    # per-topic counts collect below and the returned filtered plan —
+    # without it the hashing-TF + assignment UDF runs over the full
+    # corpus twice (the dominant cost at scale). localCheckpoint rather
+    # than persist: persist() pinned executor storage for the
+    # SparkContext's lifetime with no handle for the caller to
+    # unpersist; checkpoint blocks are freed by the ContextCleaner as
+    # soon as the caller drops the returned DataFrame.
+    topics = assign_topics(assigned, centroids, id_col, text_col) \
+        .localCheckpoint(eager=True)
     counts = {int(r["topic"]): int(r["n"]) for r in
               topics.groupBy("topic").agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values()) or 1
