@@ -103,11 +103,14 @@ def tune_lsh_params(threshold: float, s: int = 1000,
 
 
 def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
-                    hard_bucket_cap: int = 100_000, eager: bool = False):
+                    hard_bucket_cap: int = 100_000, eager: bool = False,
+                    checkpoint: bool = True):
     """Distinct candidate (id_a, id_b) pairs, id_a < id_b, plus skew metrics.
 
     Returns (pairs_df, metrics_df). metrics_df: one row —
-    (n_buckets, n_hot_buckets, n_dropped_buckets, n_dropped_docs).
+    (n_buckets, n_hot_buckets, n_dropped_buckets, n_dropped_docs — the
+    last counts band ENTRIES in dropped buckets, an upper bound on
+    affected docs).
 
     ``eager=True`` materializes the two shared checkpointed relations
     (bands, sizes) in order before their multi-consumer fan-out. With
@@ -118,8 +121,17 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     partitions compute twice — pure waste that grows with task slots, so
     it taxes exactly the high-parallelism leg. One ordered pass each is
     both faster and gives clean linear scaling.
+
+    ``checkpoint=False`` skips the materialization entirely — REQUIRED
+    inside a foreachBatch callback, where localCheckpoint breaks the
+    micro-batch file-sink commit (streaming.process_batch's reproduced
+    constraint); the double-compute it tolerates is a per-trigger
+    micro-batch non-issue.
     """
-    bands = explode_bands(sketches).localCheckpoint(eager=eager)
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=eager) if checkpoint else df
+
+    bands = _mat(explode_bands(sketches))
 
     # bucket sizes via groupBy, NOT a window: groupBy does map-side
     # partial aggregation (a hot boilerplate bucket is pre-reduced inside
@@ -129,20 +141,29 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     # two SMALL key sets (hot keys, pruned singleton keys are implicit:
     # singleton buckets simply produce no self-join output), so the fat
     # band relation is never joined against an O(buckets) table.
-    sizes = (
+    sizes = _mat(
         bands.groupBy("band_key")
         .agg(F.count("*").alias("bucket_n"))
-        .localCheckpoint(eager=eager)
     )
     multi = sizes.filter(F.col("bucket_n") > 1)
 
+    # coalesce every sum: on a corpus with no multi-doc buckets `multi`
+    # is empty and bare F.sum yields NULL, not 0 — operator code doing
+    # `row["n_dropped_docs"] > 0` would crash on None. n_dropped_docs
+    # counts band ENTRIES in dropped buckets (a doc in k dropped buckets
+    # contributes k) — the upper bound on affected docs, stated as such.
     metrics = multi.agg(
         F.count("*").alias("n_buckets"),
-        F.sum((F.col("bucket_n") > band_doc_cap).cast("long")).alias("n_hot_buckets"),
-        F.sum((F.col("bucket_n") > hard_bucket_cap).cast("long")).alias("n_dropped_buckets"),
-        F.sum(
-            F.when(F.col("bucket_n") > hard_bucket_cap, F.col("bucket_n")).otherwise(0)
-        ).alias("n_dropped_docs"),
+        F.coalesce(
+            F.sum((F.col("bucket_n") > band_doc_cap).cast("long")),
+            F.lit(0).cast("long")).alias("n_hot_buckets"),
+        F.coalesce(
+            F.sum((F.col("bucket_n") > hard_bucket_cap).cast("long")),
+            F.lit(0).cast("long")).alias("n_dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket_n") > hard_bucket_cap,
+                         F.col("bucket_n")).otherwise(0)),
+            F.lit(0).cast("long")).alias("n_dropped_docs"),
     )
 
     # hot/dropped key sets are tiny (boilerplate phenomena — a handful of

@@ -241,15 +241,17 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
     Spark shape mirrors dedup_pipeline stage by stage, but candidates
     come from a cross band join (new bands x ref bands on band_key) so
     no within-corpus pairs are ever generated. Both corpora's ids are
-    remapped into disjoint spaces (new -> 2i, ref -> 2i+1 — bijective,
-    so they decode back) and the sketch tables unioned, which lets the
-    existing two-tier verify_pairs (prefix pre-filter, shuffled-hash
-    attach joins, survivor semi-join) run untouched on the cross pairs.
+    remapped into disjoint spaces (new -> even, ref -> odd encoded ids
+    via a total bit-shift — safe over the full int64 hash-id range)
+    and the sketch tables unioned, which lets the existing two-tier
+    verify_pairs (prefix pre-filter, shuffled-hash attach joins,
+    survivor semi-join) run untouched on the cross pairs; original ids
+    are recovered by skinny mapping joins on the way out.
 
     Skew discipline: a boilerplate band key with A new and B ref docs
-    would join-explode to A*B candidates, so band keys whose bucket
-    exceeds ``config.lsh.hard_bucket_cap`` on EITHER side are dropped
-    with counts logged in ``metrics`` (same contract as
+    join-explodes to A*B candidates, so band keys whose candidate
+    PRODUCT ``A*B`` exceeds ``config.lsh.hard_bucket_cap`` are dropped
+    with per-side entry counts logged in ``metrics`` (same contract as
     lsh.candidate_pairs: drops are visible, never silent).
 
     Pass ``ref_sketches`` (e.g. from io.read_sketches) to skip
@@ -275,11 +277,31 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
             sp.check_compatible(emb)
         sk_ref = ref_sketches
     # disjoint id spaces (new=even, ref=odd) so one sketch table serves
-    # verify_pairs without collisions; decoded on the way out
-    sk_new = sk_new.withColumn(id_col, F.col(id_col) * 2)
-    sk_ref = sk_ref.withColumn(id_col, F.col(id_col) * 2 + 1)
-    sk_new = sk_new.localCheckpoint(eager=True)
-    sk_ref = sk_ref.localCheckpoint(eager=True)
+    # verify_pairs without cross-side collisions. shiftleft|parity, not
+    # id*2(+1): doc ids are xxhash64 values spanning the full int64
+    # range, where id*2 throws ARITHMETIC_OVERFLOW under Spark 4's ANSI
+    # default for |id| >= 2^62. The bit-shift drops the top bit, so the
+    # ORIGINAL id rides along as ``_orig`` (8 B/row next to the 8 KB
+    # sketch) and is recovered by a skinny mapping join on the way out
+    # — never by arithmetic, whose float '/' decode was inexact past
+    # 2^53 anyway. (Two same-side ids differing only in bit 63 share an
+    # encoded id — the same birthday-collision class, and order, the
+    # 64-bit hash id scheme itself accepts.)
+    # NOTE sketch_documents always emits the id as ``doc_id`` whatever
+    # the caller's id_col — remap that, not id_col.
+    def _enc(side_bit: int):
+        return F.shiftleft(F.col("doc_id"), 1).bitwiseOR(F.lit(side_bit))
+
+    sk_new = (sk_new.withColumn("_orig", F.col("doc_id"))
+              .withColumn("doc_id", _enc(0)).localCheckpoint(eager=True))
+    sk_ref = (sk_ref.withColumn("_orig", F.col("doc_id"))
+              .withColumn("doc_id", _enc(1)).localCheckpoint(eager=True))
+    map_new = sk_new.select(F.col("doc_id").alias("id_a"),
+                            F.col("_orig").alias("_orig_new"))
+    map_ref = sk_ref.select(F.col("doc_id").alias("_eid_b"),
+                            F.col("_orig").alias("_orig_ref"))
+    sk_new = sk_new.drop("_orig")
+    sk_ref = sk_ref.drop("_orig")
 
     bn = _lsh.explode_bands(sk_new).select(
         "band_key", F.col("doc_id").alias("id_a"))
@@ -288,9 +310,16 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
     # per-side bucket sizes (map-side partial agg); hot keys dropped
     sz_n = bn.groupBy("band_key").agg(F.count("*").alias("n_new"))
     sz_r = br.groupBy("band_key").agg(F.count("*").alias("n_ref"))
+    # cap the per-band candidate PRODUCT, not just each side: a band
+    # with 10^5 new x 10^5 ref entries is far under a per-side cap yet
+    # join-explodes to 10^10 rows. n_new*n_ref <= hard_bucket_cap
+    # bounds every band's candidate volume directly (and subsumes the
+    # per-side check, since the inner size-join keeps only bands
+    # present on both sides). Compared in double: the long product
+    # itself could overflow ANSI arithmetic at web-scale counts.
     hot = (
         sz_n.join(sz_r, "band_key")
-        .filter((F.col("n_new") > cap) | (F.col("n_ref") > cap))
+        .filter(F.col("n_new").cast("double") * F.col("n_ref") > cap)
         .localCheckpoint(eager=True)
     )
     metrics = hot.agg(
@@ -314,16 +343,22 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
         max_pvalue=config.max_pvalue,
         prefix_filter=config.lsh.prefix,
     )
-    # best ref match per new doc: highest jaccard, lowest ref id on ties
+    # best ref match per new doc: highest jaccard, lowest ref id on
+    # ties (bitwise_not reverses order totally — no ANSI overflow at
+    # Long.MIN, unlike unary minus). Original ids come back via the
+    # skinny mapping joins (16 B/row), never arithmetic decode.
     best = (
         matched.groupBy("id_a")
         .agg(F.max(F.struct(
             F.col("jaccard").alias("j"),
-            (-F.col("id_b")).alias("nid"))).alias("_m"))
+            F.bitwise_not(F.col("id_b")).alias("nid"))).alias("_m"))
+        .join(map_new, "id_a")
+        .join(map_ref,
+              F.bitwise_not(F.col("_m.nid")) == F.col("_eid_b"))
         .select(
-            (F.col("id_a") / 2).cast("long").alias(id_col),
+            F.col("_orig_new").alias(id_col),
             F.col("_m.j").alias("jaccard"),
-            ((-F.col("_m.nid") - 1) / 2).cast("long").alias("dup_of"),
+            F.col("_orig_ref").alias("dup_of"),
         )
     )
     decisions = (
@@ -398,7 +433,13 @@ def dedup_tiers(docs: DataFrame, clusters: DataFrame | None = None,
     canon = multi_groups(canonical_dup_groups(base)) \
         .withColumnRenamed("rep_id", "_c_rep")
     if clusters is None:
-        clusters = dedup_pipeline(base, config).clusters
+        # materialize the skinny (16 B/row) cluster relation, then
+        # release the pipeline's fat checkpointed blocks (8 KB/doc
+        # sketches + pairs) immediately — discarding the DedupResult
+        # without release() pinned them for the session lifetime
+        res = dedup_pipeline(base, config)
+        clusters = res.clusters.localCheckpoint(eager=True)
+        res.release()
     near = multi_groups(
         clusters.select("doc_id", F.col("cluster_id").alias("rep_id"))
     ).withColumnRenamed("rep_id", "_n_rep")
@@ -437,15 +478,25 @@ def select_representatives(clusters: DataFrame, scores: DataFrame,
     per-cluster sort and no WindowExec funnel on mega-clusters).
     Returns (cluster_id, rep_id, rep_score).
     """
-    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    # LEFT join: a cluster whose members all lack score rows (partial
+    # score tables — sampled classifiers, failed scoring) must not
+    # vanish from the output (that would delete every copy of the
+    # family downstream); unscored members rank below any scored one
+    # (score -> -inf in the argmax) and an all-unscored cluster falls
+    # back to the min-id rep with a NULL rep_score. bitwise_not, not
+    # unary minus, for the id tie-break: ~id reverses order totally
+    # (no ANSI overflow at Long.MIN, unlike -id).
+    joined = clusters.join(scores.select(id_col, score_col), id_col, "left")
+    neg_inf = F.lit(float("-inf"))
     return (
         joined.groupBy(cluster_col)
         .agg(F.max(F.struct(
-            F.col(score_col).alias("s"),
-            (-F.col(id_col)).alias("nid"))).alias("_m"))
+            F.coalesce(F.col(score_col), neg_inf).alias("s"),
+            F.bitwise_not(F.col(id_col)).alias("nid"))).alias("_m"))
         .select(
             cluster_col,
-            (-F.col("_m.nid")).cast("long").alias("rep_id"),
-            F.col("_m.s").alias("rep_score"),
+            F.bitwise_not(F.col("_m.nid")).cast("long").alias("rep_id"),
+            F.when(F.col("_m.s") == neg_inf, F.lit(None).cast("double"))
+            .otherwise(F.col("_m.s")).alias("rep_score"),
         )
     )

@@ -282,10 +282,15 @@ def _merge_and_score(df: DataFrame, params: SketchParams,
     # Mash distance as a pure column expression (CommandDistance.cpp:387-407)
     j = F.col("jaccard")
     dist = -F.log(2.0 * j / (1.0 + j)) / F.lit(float(params.k))
+    # common==0 is tested FIRST: the reference's branch order
+    # (common==denom first) is safe only because mash drops sub-k
+    # records at sketch time; we retain empty-sketch docs, and an
+    # empty-vs-empty pair has common==denom==0 — it must score as
+    # maximally distant (1.0), not as a perfect match (0.0)
     df = df.withColumn(
         "mash_dist",
-        F.when(F.col("common") == F.col("denom"), F.lit(0.0))
-        .when(F.col("common") == 0, F.lit(1.0))
+        F.when(F.col("common") == 0, F.lit(1.0))
+        .when(F.col("common") == F.col("denom"), F.lit(0.0))
         .otherwise(F.least(dist, F.lit(1.0))),
     )
     if jaccard_threshold is not None:
