@@ -1440,7 +1440,11 @@ def _q_cluster_representatives(spark, sf_dir):
     )
     clusters = d.select("doc_id", F.md5("text").alias("_m")).join(
         g, "_m").select("doc_id", "cluster_id")
-    scores = d.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    # cluster 0 (doc 0 + its seeded +10M copy) gets NO score rows at
+    # all, so the LEFT-join all-unscored fallback (min-id rep, NULL
+    # rep_score) is driver-covered, not just pytest-covered
+    scores = clusters.filter(F.col("cluster_id") != 0).select(
+        "doc_id", (F.col("doc_id") % 7).alias("score"))
     return select_representatives(clusters, scores)
 
 
@@ -1839,77 +1843,102 @@ def _q_unigram_encoded_lengths(spark, sf_dir):
     return encode_unigram(docs, logp, max_piece_len=4).select("doc_id", "n_pieces")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract registry, ordered so a driver that verifies a prefix of the
-    dict sees maximal oracle coverage:
+# The driver verifies the first DRIVER_WINDOW queries() entries each
+# round. Rotation policy (round-4 verdict): never-driver-checked
+# queries first, then least-recently-checked; a new query must be
+# placed INSIDE the window the round it lands.
+DRIVER_WINDOW = 50
 
-    tier 1 — oracle-backed queries that had no driver CORRECTNESS row as
-             of round 3 (registry position > 50 then);
-    tier 2 — queries converted from rows-only to oracle-backed in round 4
-             (seeded expected-output parquet, see ``_seed_expected``);
-    tier 3 — oracle-backed queries already driver-green in round 3;
-    tier 4 — rows-only queries (no SQL-expressible oracle).
+# Last round each query held a GREEN driver CORRECTNESS row (0 = never;
+# judge-local verification does not count). Drives the rotation-policy
+# pytest: nothing outside the current window may have last_green == 0,
+# and window order must be non-decreasing in last_green.
+DRIVER_GREEN_HISTORY = {
+    # never driver-checked as of round 4 (judge-verified only)
+    "stateful_dedup_decisions": 0,
+    "stateful_band_dup_pairs": 0,
+    "snapshot_table_history": 0,
+    "dedup_recall_audit": 0,
+    "pq_knn": 0,
+    "ivfpq_knn": 0,
+    "compression_stats": 0,
+    "cross_dedup_decisions": 0,
+    # driver-RED in round 4 (oracle typing, fixed this round) -> treat
+    # as unverified until a green row lands
+    "cluster_representatives": 0,
+    "budget_selection": 0,
+    # round-3 green, outside the round-4 window
+    "doc_stats": 3, "exact_dup_groups": 3, "exact_dup_pairs": 3,
+    "token_counts": 3, "quality_scores": 3, "shingle_cardinality": 3,
+    "ngram_jaccard_pairs": 3, "lang_distribution": 3, "lang_id_pred": 3,
+    "fingerprint_group_sizes": 3, "knn_topk": 3, "ivf_knn": 3,
+    "pq_codes": 3, "repetition_signals": 3, "top_ngram_stats": 3,
+    "dup_ngram_coverage": 3, "gopher_line_format": 3,
+    "frequent_ngrams": 3, "line_dedup_cleaned": 3, "c4_line_filters": 3,
+    "c4_span_dedup": 3, "bpe_token_counts": 3, "gopher_quality_flags": 3,
+    "contamination_flags": 3, "pack_layout": 3, "domain_stats": 3,
+    "chunk_members": 3, "curation_funnel": 3, "embedding_dup_pairs": 3,
+    "semantic_dup_clusters": 3, "count_histogram": 3,
+    "coverage_estimates": 3, "paste_sketch_sizes": 3,
+    "substring_dup_doc_pairs": 3, "best_k_hits": 3,
+    "media_payload_stats": 3,
+    # round-4 green
+    "video_frame_samples": 4, "events_hourly": 4, "url_dup_groups": 4,
+    "extract_roundtrip": 4, "split_counts": 4,
+    "stratified_sample_ids": 4, "domain_topk_sample": 4,
+    "mixture_plan_rollup": 4, "pii_signal_counts": 4,
+    "pii_redacted_texts": 4, "unigram_doc_scores": 4,
+    "bigram_doc_scores": 4, "lm_perplexity_buckets": 4,
+    "tfidf_top_terms": 4, "epoch_shuffle_keys": 4,
+    "bloom_cross_flags": 4, "dsir_ratio_scores": 4,
+    "unigram_seed_counts": 4, "canonical_dup_groups": 4,
+    "corpus_profile": 4, "backoff_hit_orders": 4, "edit_dup_pairs": 4,
+    "kn_doc_scores": 4, "kn_continuation_counts": 4,
+    "fuzzy_contamination_pairs": 4, "wet_roundtrip": 4,
+    "warc_roundtrip": 4, "dsir_hashed_scores": 4,
+    "leakage_split_assign": 4, "latest_url_snapshots": 4,
+    "snapshot_diff": 4, "minhash_cluster_sizes": 4,
+    "minhash_dup_pairs": 4, "sketch_cardinalities": 4,
+    "simhash_dup_pairs": 4, "containment_pairs": 4, "screen_wta": 4,
+    "substring_removal": 4, "streaming_dedup_decisions": 4,
+    "text_vector_dup_groups": 4, "srp_bucket_stats": 4,
+    "screen_boilerplate": 4, "media_phash_dup_pairs": 4,
+    "bbit_dup_pairs": 4, "dedup_tier_counts": 4, "bpe_trained_merges": 4,
+    "bpe_encoded_lengths": 4, "unigram_encoded_lengths": 4,
+    # rows-only (sanctioned): driver runs them rows-only every window
+    # pass; history tracked like the rest
+    "quality_classifier_preds": 4, "topic_counts": 4,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract registry, ordered for the driver's DRIVER_WINDOW-query
+    prefix check under the rotation policy (see DRIVER_GREEN_HISTORY):
+
+    tier 1 — queries with NO green driver row ever (round-4 additions
+             slotted outside the round-4 window + the two round-4
+             hash-red rows whose oracle types are fixed this round);
+    tier 2 — round-5 additions (must land inside the window);
+    tier 3 — least-recently-checked green queries (round-3 rows);
+    tier 4 — round-4-green queries re-verified where window room allows
+             (chosen for code paths touched this round), then the
+             remaining round-4-green set (driver-dark this round);
+    tier 5 — rows-only queries (no SQL-expressible oracle; sanctioned:
+             MLlib LR / Lloyd float add order is partitioning-dependent).
     """
     return {
-        # ---- tier 1: oracle-backed, driver-dark in round 3 -------------
-        "video_frame_samples": _q_video_frame_samples,
-        "events_hourly": _q_events_hourly,
-        "url_dup_groups": _q_url_dup_groups,
-        "extract_roundtrip": _q_extract_roundtrip,
-        "split_counts": _q_split_counts,
-        "stratified_sample_ids": _q_stratified_sample_ids,
-        "domain_topk_sample": _q_domain_topk_sample,
-        "mixture_plan_rollup": _q_mixture_plan_rollup,
-        "pii_signal_counts": _q_pii_signal_counts,
-        "pii_redacted_texts": _q_pii_redacted_texts,
-        "unigram_doc_scores": _q_unigram_doc_scores,
-        "bigram_doc_scores": _q_bigram_doc_scores,
-        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "cluster_representatives": _q_cluster_representatives,
-        "epoch_shuffle_keys": _q_epoch_shuffle_keys,
-        "bloom_cross_flags": _q_bloom_cross_flags,
-        "dsir_ratio_scores": _q_dsir_ratio_scores,
-        "unigram_seed_counts": _q_unigram_seed_counts,
-        "canonical_dup_groups": _q_canonical_dup_groups,
-        "corpus_profile": _q_corpus_profile,
-        "backoff_hit_orders": _q_backoff_hit_orders,
-        "edit_dup_pairs": _q_edit_dup_pairs,
-        "kn_doc_scores": _q_kn_doc_scores,
-        "kn_continuation_counts": _q_kn_continuation_counts,
-        "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
-        "wet_roundtrip": _q_wet_roundtrip,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "dsir_hashed_scores": _q_dsir_hashed_scores,
-        "budget_selection": _q_budget_selection,
-        "leakage_split_assign": _q_leakage_split_assign,
-        "latest_url_snapshots": _q_latest_url_snapshots,
-        "snapshot_diff": _q_snapshot_diff,
-        # ---- tier 2: converted rows-only -> seeded-expected oracle -----
-        "minhash_cluster_sizes": _q_minhash_cluster_sizes,
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
-        "sketch_cardinalities": _q_sketch_cardinalities,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "containment_pairs": _q_containment_pairs,
-        "screen_wta": _q_screen_wta,
-        "substring_removal": _q_substring_removal,
-        "streaming_dedup_decisions": _q_streaming_dedup_decisions,
-        "text_vector_dup_groups": _q_text_vector_dup_groups,
-        "srp_bucket_stats": _q_srp_bucket_stats,
-        "screen_boilerplate": _q_screen_boilerplate,
-        "media_phash_dup_pairs": _q_media_phash_dup_pairs,
-        "bbit_dup_pairs": _q_bbit_dup_pairs,
-        "dedup_tier_counts": _q_dedup_tier_counts,
-        "bpe_trained_merges": _q_bpe_trained_merges,
-        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
-        "unigram_encoded_lengths": _q_unigram_encoded_lengths,
-        # ---- round 4 additions: applyInPandasWithState operators +
-        # snapshot-log time travel --------------------------------------
+        # ---- tier 1: zero lifetime green driver rows --------------------
         "stateful_dedup_decisions": _q_stateful_dedup_decisions,
         "stateful_band_dup_pairs": _q_stateful_band_dup_pairs,
         "snapshot_table_history": _q_snapshot_table_history,
         "dedup_recall_audit": _q_dedup_recall_audit,
-        # ---- tier 3: oracle-backed, driver-green in round 3 -------------
+        "pq_knn": _q_pq_knn,
+        "ivfpq_knn": _q_ivfpq_knn,
+        "compression_stats": _q_compression_stats,
+        "cross_dedup_decisions": _q_cross_dedup_decisions,
+        "cluster_representatives": _q_cluster_representatives,
+        "budget_selection": _q_budget_selection,
+        # ---- tier 3: round-3 green, least recently checked --------------
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dup_pairs": _q_exact_dup_pairs,
@@ -1946,16 +1975,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_doc_pairs": _q_substring_dup_doc_pairs,
         "best_k_hits": _q_best_k_hits,
         "media_payload_stats": _q_media_payload_stats,
-        # ---- tier 4: converted in round 4 but outside a 50-query check
-        # window (seeded-expected oracles, locally verified) ---------------
-        "pq_knn": _q_pq_knn,
-        "ivfpq_knn": _q_ivfpq_knn,
-        "compression_stats": _q_compression_stats,
-        "cross_dedup_decisions": _q_cross_dedup_decisions,
-        # ---- tier 5: rows-only. The ONLY remaining rows-only queries —
-        # both train by distributed partial-sum accumulation (MLlib LR /
-        # Lloyd), whose float add order is partitioning-dependent, so no
-        # serial reference can be bit-exact against them by construction.
+        # ---- tier 4a: round-4-green re-checks on code paths touched
+        # this round (media decode routing, snapshot-backed pipeline,
+        # stateful/batch shared kernel, tiered report) --------------------
+        "media_phash_dup_pairs": _q_media_phash_dup_pairs,
+        "streaming_dedup_decisions": _q_streaming_dedup_decisions,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "dedup_tier_counts": _q_dedup_tier_counts,
+        # ======== DRIVER_WINDOW boundary (50) ===========================
+        # ---- tier 4b: round-4 green, dark this round --------------------
+        "video_frame_samples": _q_video_frame_samples,
+        "events_hourly": _q_events_hourly,
+        "url_dup_groups": _q_url_dup_groups,
+        "extract_roundtrip": _q_extract_roundtrip,
+        "split_counts": _q_split_counts,
+        "stratified_sample_ids": _q_stratified_sample_ids,
+        "domain_topk_sample": _q_domain_topk_sample,
+        "mixture_plan_rollup": _q_mixture_plan_rollup,
+        "pii_signal_counts": _q_pii_signal_counts,
+        "pii_redacted_texts": _q_pii_redacted_texts,
+        "unigram_doc_scores": _q_unigram_doc_scores,
+        "bigram_doc_scores": _q_bigram_doc_scores,
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "epoch_shuffle_keys": _q_epoch_shuffle_keys,
+        "bloom_cross_flags": _q_bloom_cross_flags,
+        "dsir_ratio_scores": _q_dsir_ratio_scores,
+        "unigram_seed_counts": _q_unigram_seed_counts,
+        "canonical_dup_groups": _q_canonical_dup_groups,
+        "corpus_profile": _q_corpus_profile,
+        "backoff_hit_orders": _q_backoff_hit_orders,
+        "edit_dup_pairs": _q_edit_dup_pairs,
+        "kn_doc_scores": _q_kn_doc_scores,
+        "kn_continuation_counts": _q_kn_continuation_counts,
+        "fuzzy_contamination_pairs": _q_fuzzy_contamination_pairs,
+        "wet_roundtrip": _q_wet_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "dsir_hashed_scores": _q_dsir_hashed_scores,
+        "leakage_split_assign": _q_leakage_split_assign,
+        "latest_url_snapshots": _q_latest_url_snapshots,
+        "snapshot_diff": _q_snapshot_diff,
+        "minhash_cluster_sizes": _q_minhash_cluster_sizes,
+        "sketch_cardinalities": _q_sketch_cardinalities,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "screen_wta": _q_screen_wta,
+        "substring_removal": _q_substring_removal,
+        "text_vector_dup_groups": _q_text_vector_dup_groups,
+        "srp_bucket_stats": _q_srp_bucket_stats,
+        "screen_boilerplate": _q_screen_boilerplate,
+        "bbit_dup_pairs": _q_bbit_dup_pairs,
+        "bpe_trained_merges": _q_bpe_trained_merges,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
+        "unigram_encoded_lengths": _q_unigram_encoded_lengths,
+        # ---- tier 5: rows-only (sanctioned) -----------------------------
         "quality_classifier_preds": _q_quality_classifier_preds,
         "topic_counts": _q_topic_counts,
     }
@@ -3260,13 +3333,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM seeded
             ),
             ranked AS (
-                SELECT cluster_id, doc_id, score, row_number() OVER (
+                -- cluster 0 is fully unscored on the Spark side (the
+                -- LEFT-join fallback fixture): NULL score, min-id rep
+                SELECT cluster_id, doc_id,
+                       CASE WHEN cluster_id = 0 THEN NULL
+                            ELSE score END AS score,
+                       row_number() OVER (
                     PARTITION BY cluster_id
-                    ORDER BY score DESC, doc_id ASC) AS rn
+                    ORDER BY (CASE WHEN cluster_id = 0 THEN NULL
+                              ELSE score END) DESC NULLS LAST,
+                             doc_id ASC) AS rn
                 FROM cl
             )
             SELECT cluster_id, doc_id AS rep_id,
-                   CAST(score AS BIGINT) AS rep_score
+                   CAST(score AS DOUBLE) AS rep_score
             FROM ranked WHERE rn = 1
         """,
         "epoch_shuffle_keys": f"""
@@ -3782,11 +3862,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             c AS (
+                -- CAST: DuckDB surfaces windowed SUM(BIGINT) as
+                -- HUGEINT/float on hash; Spark's cum_tokens is LONG
                 SELECT doc_id, score, n_tokens,
-                       SUM(n_tokens) OVER (
+                       CAST(SUM(n_tokens) OVER (
                            ORDER BY score DESC, doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cum_tokens
+                                    AND CURRENT ROW) AS BIGINT)
+                           AS cum_tokens
                 FROM t
             )
             SELECT doc_id, score, n_tokens, cum_tokens

@@ -3,7 +3,15 @@
 given sf dir, compare row count, schema width, and order-insensitive
 values (column-name-sorted). Usage:
 
-    python tools/check_contract.py [sf_dir] [query ...]
+    python tools/check_contract.py [--loose] [sf_dir] [query ...]
+
+STRICT is the default: values are stringified per element and compared
+EXACTLY after column-name sort + row sort — the same class of
+canonicalization the driver hashes, so a Spark DOUBLE ``3.0`` vs an
+oracle BIGINT ``3`` FAILS here exactly as it fails the driver's
+hash_match (the round-4 ``cluster_representatives``/``budget_selection``
+escape this tool's old ``np.allclose`` let through). ``--loose``
+restores the float-tolerant compare for debugging genuine value drift.
 """
 
 from __future__ import annotations
@@ -24,12 +32,59 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _cell(v) -> str:
+    """Driver-style canonical string for one value: nulls collapse to a
+    sentinel; everything else is its plain str() (so 3 != 3.0 — type
+    drift between op and oracle is a FAILURE, not noise)."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) and np.isnan(v):
+        return "<NULL>"
+    if isinstance(v, (np.floating,)) and np.isnan(v):
+        return "<NULL>"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, np.ndarray):
+        return str(v.tolist())
+    return str(v)
+
+
+def canon_strict(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_cell)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare_strict(name: str, spark_pdf: pd.DataFrame,
+                   duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"schema mismatch: {sorted(spark_pdf.columns)} vs "
+            f"{sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount {len(spark_pdf)} vs {len(duck_pdf)}")
+        return problems
+    a, b = canon_strict(spark_pdf), canon_strict(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        neq = av != bv
+        if neq.any():
+            bad = np.flatnonzero(neq)[:3]
+            problems.append(
+                f"col {c} strict-differs (e.g. rows {bad.tolist()}: "
+                f"{[(av[i], bv[i]) for i in bad]})")
+    return problems
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -57,8 +112,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    loose = "--loose" in argv
+    if loose:
+        argv.remove("--loose")
+    cmp_fn = compare if loose else compare_strict
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(cores=8, shuffle_partitions=16, app_name="contract-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -90,7 +150,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
-        problems = compare(name, sdf, ddf)
+        problems = cmp_fn(name, sdf, ddf)
         if problems:
             failures += 1
             print(f"FAIL  {name}: rows={len(sdf)}/{len(ddf)} " + "; ".join(problems))
