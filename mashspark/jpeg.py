@@ -364,7 +364,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+                h, v = hv >> 4, hv & 0x0F
+                # T.81 B.2.2: 1 <= Hi, Vi <= 4. A zero factor would
+                # divide-by-zero in the MCU math, escaping the caller's
+                # corrupt-row ValueError fallback and failing the task.
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"invalid SOF sampling factors ({h},{v})")
+                comps.append(_Component(cid, h, v, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF (progressive/arithmetic)")

@@ -343,22 +343,27 @@ def dedup_against(new_docs: DataFrame, ref_docs: DataFrame,
         max_pvalue=config.max_pvalue,
         prefix_filter=config.lsh.prefix,
     )
-    # best ref match per new doc: highest jaccard, lowest ref id on
-    # ties (bitwise_not reverses order totally — no ANSI overflow at
-    # Long.MIN, unlike unary minus). Original ids come back via the
-    # skinny mapping joins (16 B/row), never arithmetic decode.
+    # best ref match per new doc: highest jaccard, lowest ORIGINAL ref
+    # id on ties (bitwise_not reverses order totally — no ANSI overflow
+    # at Long.MIN, unlike unary minus). The ref mapping join runs
+    # BEFORE the argmax: tie-breaking on the encoded id would diverge
+    # from the stated contract for real xxhash64 ids (shiftleft drops
+    # bit 63, so encoded order != original order past |id| >= 2^62).
+    # matched is the verified-pair set (small) and map_ref is 16 B/row,
+    # so the pre-agg join is cheap — and bitwise_not being self-inverse
+    # lets the original ref id ride the struct out, saving the post-agg
+    # join entirely.
     best = (
-        matched.groupBy("id_a")
+        matched.join(map_ref, matched["id_b"] == map_ref["_eid_b"])
+        .groupBy("id_a")
         .agg(F.max(F.struct(
             F.col("jaccard").alias("j"),
-            F.bitwise_not(F.col("id_b")).alias("nid"))).alias("_m"))
+            F.bitwise_not(F.col("_orig_ref")).alias("nref"))).alias("_m"))
         .join(map_new, "id_a")
-        .join(map_ref,
-              F.bitwise_not(F.col("_m.nid")) == F.col("_eid_b"))
         .select(
             F.col("_orig_new").alias(id_col),
             F.col("_m.j").alias("jaccard"),
-            F.col("_orig_ref").alias("dup_of"),
+            F.bitwise_not(F.col("_m.nref")).alias("dup_of"),
         )
     )
     decisions = (

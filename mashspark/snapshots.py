@@ -14,20 +14,25 @@ The model is Iceberg's, scoped to what the engine needs:
   it (append / overwrite), the parent version, and a summary block
   (row count, input lineage, caller metrics — the analog of Iceberg's
   snapshot summary properties);
-* the **current version** is an atomic pointer file
-  (``_snapshots/CURRENT``, ``os.replace``) — readers never see a torn
-  table, and a writer killed before the pointer swap leaves the table
-  at its previous version with only orphaned (harmless, expirable)
-  data files;
-* **conflict detection**: the snapshot JSON is created with ``O_EXCL``,
-  so two concurrent committers race on the version file — single-table
-  optimistic concurrency, the simplified form of Iceberg's commit
-  protocol. An ``append`` loser retries against the winner's file list
-  (its data is state-independent); a ``merge`` loser raises
-  ``ConcurrentCommitError`` because its merged relation was computed
-  from the pre-race table and committing it would erase the winner's
-  rows — the caller re-runs the merge; ``overwrite`` is last-writer-wins
-  by definition;
+* the **current version** is an atomic, monotonic pointer file
+  (``_snapshots/CURRENT``, ``os.replace`` under a lock file) — readers
+  never see a torn table. A writer killed before its data write leaves
+  only orphaned (harmless, expirable) data files; one killed between
+  snapshot publish and pointer swap leaves a COMPLETE pending snapshot
+  (published atomically via temp-file + hard-link) that the next
+  committer adopts after a bounded wait, finishing the swap on its
+  behalf;
+* **conflict detection**: committers contend for EXACTLY parent+1 via
+  hard-link-exclusive snapshot publish — never skipping past a taken
+  version, so a pending winner's rows can never be dropped from a later
+  snapshot's ancestry (no lost updates) — single-table optimistic
+  concurrency, the simplified form of Iceberg's commit protocol. An
+  ``append`` loser waits for the winner's pointer swap and retries
+  against the winner's file list (its data is state-independent); a
+  ``merge`` loser raises ``ConcurrentCommitError`` because its merged
+  relation was computed from the pre-race table and committing it would
+  erase the winner's rows — the caller re-runs the merge; ``overwrite``
+  is last-writer-wins by definition;
 * **time travel**: ``read_table(..., version=N)`` reads any retained
   snapshot's file list; ``expire_snapshots`` is the maintenance job
   that prunes history and deletes data directories no retained
@@ -42,6 +47,7 @@ the point: pipelines written against it carry over.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -49,6 +55,12 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# how long a committer waits for a pending winner (snapshot file created,
+# pointer not yet swapped) to finish before ADOPTING its commit --
+# completing the pointer swap on the (presumed dead) writer's behalf
+ADOPT_TIMEOUT_S = 2.0
+_ADOPT_POLL_S = 0.05
 
 
 def _snap_dir(table_path: str) -> str:
@@ -97,19 +109,73 @@ class ConcurrentCommitError(RuntimeError):
     wrote is discarded; nothing was committed)."""
 
 
+def _advance_pointer(table_path: str, version: int) -> None:
+    """Monotonic CURRENT swap under a lock file: the pointer only moves
+    FORWARD, so a slow writer finishing after a helper adopted its
+    commit (and others committed on top) can never regress CURRENT to
+    an older version — which would make already-committed rows vanish
+    from readers until the next commit. flock is single-host, which is
+    this module's scope; on a real cluster the catalog's compare-and-
+    swap (Iceberg) replaces this whole file."""
+    lock_path = os.path.join(_snap_dir(table_path), "LOCK")
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = current_version(table_path)
+        if cur is not None and cur >= version:
+            return
+        tmp = f"{_current_path(table_path)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, _current_path(table_path))
+
+
+def _publish_snapshot(table_path: str, version: int, entry: dict) -> bool:
+    """Atomically publish a COMPLETE snapshot file for ``version``:
+    write to a temp name, hard-link into place (link fails with EEXIST
+    if the version is taken — O_EXCL semantics, but the visible file is
+    never torn: a writer killed mid-publish leaves only a temp file).
+    Returns False if another committer holds the version."""
+    tmp = os.path.join(_snap_dir(table_path),
+                       f".tmp-v{version}-{os.getpid()}-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _snap_path(table_path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def _commit(spark: SparkSession, df: DataFrame, table_path: str,
             operation: str, summary: dict | None,
             retries: int = 5, expected_parent: int | None | str = "any",
-            ) -> int:
-    """Write immutable data, then commit the snapshot: O_EXCL version
-    file + atomic CURRENT swap. The data write happens ONCE; only the
-    (cheap, metadata-level) commit step retries on a version race.
+            adopt_timeout: float = ADOPT_TIMEOUT_S) -> int:
+    """Write immutable data, then commit the snapshot. The data write
+    happens ONCE; only the (cheap, metadata-level) commit step retries
+    on a version race.
+
+    Commit protocol (no lost updates): contend for EXACTLY parent+1 —
+    never skip past a taken version. A version file that exists while
+    CURRENT is still behind is a pending winner (created its snapshot,
+    hasn't swapped the pointer yet); skipping it and committing
+    parent's file list would drop the winner's rows from the new
+    snapshot's ancestry (the round-4 lost-update window). Instead the
+    loser WAITS for CURRENT to reach the pending version, and after
+    ``adopt_timeout`` assumes the writer died between publish and swap
+    and adopts the commit — advancing the pointer on its behalf (safe:
+    published snapshot files are complete by construction, see
+    ``_publish_snapshot``) — then recomputes parent/files and retries
+    on top.
 
     ``expected_parent``: for operations whose DATA was computed from a
     specific table version (merge), the version the caller read. If the
-    table has advanced past it when the commit is attempted, committing
-    would silently drop the concurrent winner's rows (lost update) —
-    raise ``ConcurrentCommitError`` instead and discard the data dir.
+    table has advanced past it (including via a just-adopted pending
+    winner), committing would silently drop the winner's rows — raise
+    ``ConcurrentCommitError`` instead and discard the data dir.
     ``"any"`` (append/overwrite) skips the check: append re-reads the
     winner's file list each retry, and overwrite replaces the table
     regardless of prior state (last-writer-wins by definition)."""
@@ -119,10 +185,6 @@ def _commit(spark: SparkSession, df: DataFrame, table_path: str,
     os.makedirs(_snap_dir(table_path), exist_ok=True)
     lineage = ", ".join(str(p) for p in df.inputFiles()[:8]) or "<in-memory>"
     for _ in range(max(1, retries)):
-        # parent = the last COMMITTED snapshot (the pointer); the version
-        # number must additionally clear any snapshot file a concurrent
-        # winner has created but not yet pointed at, or the loser would
-        # retry the same taken version forever
         parent = current_version(table_path)
         if expected_parent != "any" and parent != expected_parent:
             shutil.rmtree(data_dir, ignore_errors=True)
@@ -134,9 +196,7 @@ def _commit(spark: SparkSession, df: DataFrame, table_path: str,
             files = snapshot(table_path, parent)["files"]
         else:
             files = []
-        taken = [int(f[1:-5]) for f in os.listdir(_snap_dir(table_path))
-                 if f.startswith("v") and f.endswith(".json")]
-        version = max([parent or 0, *taken], default=0) + 1
+        version = (parent or 0) + 1
         entry = {
             "version": version,
             "parent": parent,
@@ -149,18 +209,17 @@ def _commit(spark: SparkSession, df: DataFrame, table_path: str,
                 **(summary or {}),
             },
         }
-        try:
-            fd = os.open(_snap_path(table_path, version),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # another committer won this version; re-read and retry
-        with os.fdopen(fd, "w") as fh:
-            json.dump(entry, fh)
-        tmp = f"{_current_path(table_path)}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, _current_path(table_path))
-        return version
+        if _publish_snapshot(table_path, version, entry):
+            _advance_pointer(table_path, version)
+            return version
+        # version taken by a pending winner: wait for its pointer swap,
+        # then adopt if it never comes (writer died post-publish)
+        deadline = time.monotonic() + adopt_timeout
+        while (current_version(table_path) or 0) < version:
+            if time.monotonic() >= deadline:
+                _advance_pointer(table_path, version)
+                break
+            time.sleep(_ADOPT_POLL_S)
     raise RuntimeError(
         f"snapshot commit to {table_path} lost {retries} version races")
 

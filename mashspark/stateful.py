@@ -278,6 +278,7 @@ def stateful_band_dedup(stream_df: DataFrame, params: SketchParams,
             ]
         else:
             reg_ids, reg_pref, n_dropped = [], [], 0
+        reg_set = set(reg_ids)
         out_doc, out_match, out_common, out_denom = [], [], [], []
         for r in rows.itertuples(index=False):
             doc_id = int(getattr(r, "doc_id"))
@@ -287,13 +288,23 @@ def stateful_band_dedup(stream_df: DataFrame, params: SketchParams,
                     reg_pref, [pref] * len(reg_pref), pl)
                 hit = np.flatnonzero(
                     (denom > 0) & (common >= thr * denom))
+                # skip the register entry that IS this doc (a band-key
+                # collision across residue classes, or an at-least-once
+                # replay, puts the same doc in its own register):
+                # a doc_id==matched_id row would read as a real match
+                # downstream, matching the batch path's id_a < id_b
+                # discipline instead
+                hit = [i for i in hit if int(reg_ids[i]) != doc_id]
                 out_doc.extend([doc_id] * len(hit))
                 out_match.extend(int(reg_ids[i]) for i in hit)
                 out_common.extend(int(common[i]) for i in hit)
                 out_denom.extend(int(denom[i]) for i in hit)
-            if len(reg_ids) < cap:
+            if doc_id in reg_set:
+                pass  # already registered (collision/replay): not a drop
+            elif len(reg_ids) < cap:
                 reg_ids.append(doc_id)
                 reg_pref.append(pref)
+                reg_set.add(doc_id)
             else:
                 n_dropped += 1
         ids_blob = np.asarray(reg_ids, dtype="<i8").tobytes()

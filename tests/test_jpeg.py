@@ -163,3 +163,22 @@ def test_phash_real_flag_covers_jpeg():
     h2 = dhash_from_plane(decode_media(encode_jpeg(img, quality=60,
                                                    subsample=True)))
     assert bin((h1 ^ h2) & (2**64 - 1)).count("1") <= 8
+
+
+def test_zero_sampling_factor_raises_valueerror_not_zerodivision():
+    """T.81 bounds check: a corrupt SOF with Hi or Vi = 0 must raise
+    ValueError (decode_media's corrupt-row fallback catches it), never
+    ZeroDivisionError (which would fail the whole Spark task)."""
+    from mashspark.multimodal import _decode_image_stub, decode_media
+
+    img = _test_image(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=90))
+    sof = payload.find(b"\xFF\xC0")
+    assert sof > 0
+    hv_off = sof + 11  # marker(2) len(2) precision(1) dims(4) nc(1) cid(1)
+    payload[hv_off] = 0x04  # h=0, v=4
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    # and the media dispatcher degrades to the stub
+    out = decode_media(bytes(payload))
+    assert (out == _decode_image_stub(bytes(payload))).all()

@@ -1297,3 +1297,29 @@ def test_snapshot_diff_null_text_is_change(spark):
     rows = snapshot_diff(old, new).collect()
     assert [(r.norm_url, r.status) for r in rows] == [
         ("https://a.com/x", "changed")]
+
+
+def test_dedup_against_tie_breaks_on_original_ref_id_full_range(spark):
+    """Tie-break contract at full-range int64 ids: identical ref docs
+    whose ids straddle the shiftleft bit-63 wrap (2^62 encodes NEGATIVE
+    while small positives stay positive) must still resolve dup_of to
+    the lowest ORIGINAL ref id, not the lowest encoded id."""
+    from mashspark.params import LSHParams, PipelineConfig, SketchParams
+    from mashspark.pipeline import dedup_against
+    from mashspark.webtext import webtext_spark_df
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(k=21, s=256, seed=42),
+        lsh=LSHParams(bands=32, prefix=64),
+        jaccard_threshold=0.7,
+    )
+    text = webtext_spark_df(spark, n_base=1, seed=7).collect()[0].text
+    big = 1 << 62  # encodes to Long.MIN|1 (negative) < enc(5)
+    ref = spark.createDataFrame(
+        [(big, text), (5, text), (-9, "totally unrelated filler " * 40)],
+        "doc_id long, text string")
+    new = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup_against(new, ref, cfg).decisions.collect()
+    assert len(got) == 1 and got[0].is_dup
+    assert got[0].dup_of == 5, (
+        f"tie must break on original ref id (5), got {got[0].dup_of}")

@@ -147,6 +147,67 @@ def test_merge_race_raises_instead_of_losing_update(spark, tmp_path):
     assert snap.current_version(t) == 2
 
 
+def test_pending_winner_rows_survive_concurrent_append(spark, tmp_path):
+    """The lost-update window: a winner that PUBLISHED its snapshot file
+    but died before the pointer swap must not have its rows dropped by
+    a concurrent append. The append must land ON TOP of the pending
+    commit (adopting it), not skip past it with the stale file list."""
+    t = str(tmp_path / "tbl")
+    snap.commit_append(spark, _df(spark, 0, 10), t)  # v1, CURRENT = 1
+    # pending winner: new data dir + published v2, pointer never swapped
+    wdir = os.path.join(t, "data", "winner")
+    _df(spark, 100, 150).write.parquet(wdir)
+    winner = {"version": 2, "parent": 1, "operation": "append",
+              "files": snap.snapshot(t, 1)["files"]
+              + [os.path.join("data", "winner")], "summary": {}}
+    with open(snap._snap_path(t, 2), "w") as fh:
+        json.dump(winner, fh)
+    assert snap.current_version(t) == 1
+    v = snap.commit_append(spark, _df(spark, 200, 220), t)
+    assert v == 3
+    # 10 base + 50 winner + 20 loser: nothing lost
+    assert snap.read_table(spark, t).count() == 80
+    assert snap.snapshot(t, 3)["parent"] == 2
+    # the winner's data dir survives expiry (referenced by v3)
+    snap.expire_snapshots(t, keep_last=1)
+    assert os.path.isdir(wdir)
+    assert snap.read_table(spark, t).count() == 80
+
+
+def test_pending_winner_fails_concurrent_merge(spark, tmp_path):
+    """A merge computed against version 1 that races a pending winner's
+    v2 must raise ConcurrentCommitError once the winner is adopted —
+    previously the expected_parent check passed (pointer still 1) and
+    the merge silently erased the winner's rows."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"old-{i}") for i in range(5)], "url_id long, text string")
+    snap.commit_merge(spark, base, t, "url_id")  # v1
+    wdir = os.path.join(t, "data", "winner")
+    spark.createDataFrame([(9, "winner-9")], "url_id long, text string") \
+        .write.parquet(wdir)
+    winner = {"version": 2, "parent": 1, "operation": "append",
+              "files": snap.snapshot(t, 1)["files"]
+              + [os.path.join("data", "winner")], "summary": {}}
+    with open(snap._snap_path(t, 2), "w") as fh:
+        json.dump(winner, fh)
+    upd = spark.createDataFrame(
+        [(2, "merged-2")], "url_id long, text string")
+    with pytest.raises(snap.ConcurrentCommitError):
+        snap.commit_merge(spark, upd, t, "url_id")
+    # adoption advanced the pointer to the winner; its row is live
+    assert snap.current_version(t) == 2
+    got = {r["url_id"]: r["text"]
+           for r in snap.read_table(spark, t).collect()}
+    assert got[9] == "winner-9" and got[2] == "old-2"
+    # re-running the merge against the new state succeeds
+    v = snap.commit_merge(spark, upd, t, "url_id")
+    assert v == 3
+    got = {r["url_id"]: r["text"]
+           for r in snap.read_table(spark, t).collect()}
+    assert got[2] == "merged-2" and got[9] == "winner-9"
+
+
 def test_commit_merge_upserts_by_key(spark, tmp_path):
     t = str(tmp_path / "tbl")
     base = spark.createDataFrame(

@@ -201,3 +201,27 @@ def test_band_register_cap_drops_but_still_verifies(spark, tmp_path,
     assert (2, 1) in pairs
     assert (3, 1) in pairs
     assert (3, 2) not in pairs, "capped register must not have added doc 2"
+
+
+def test_band_dedup_never_emits_self_pairs_on_replay(spark, tmp_path,
+                                                     band_cfg):
+    """An at-least-once replay (same doc_id delivered twice — the same
+    code path a band-key collision across residue classes hits) must
+    not verify a doc against its own register entry: doc_id ==
+    matched_id rows would read as real matches downstream."""
+    params, lsh = band_cfg
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_chunk(d / "chunk0.parquet", [_doc(1, BASE)])
+    _write_chunk(d / "chunk1.parquet", [_doc(1, BASE, minute=5),
+                                        _doc(2, BASE, minute=6)])
+    out = _run_stream(
+        spark, d,
+        lambda s: stateful_band_dedup(s, params, lsh,
+                                      jaccard_threshold=0.7),
+        "band_replay")
+    rows = out.collect()
+    assert all(r["doc_id"] != r["matched_id"] for r in rows), (
+        "self-pair emitted on replay")
+    pairs = {(r["doc_id"], r["matched_id"]) for r in rows}
+    assert (2, 1) in pairs, "real pair must survive the replay filter"
