@@ -888,6 +888,49 @@ def _q_snapshot_table_history(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_pipeline_snapshot_runs(spark, sf_dir):
+    """Snapshot-committed pipeline runs (runs.dedup_snapshot_run): two
+    crawls (doc_id < 300, then < 400) committed through the snapshot
+    log, then read back via TIME TRAVEL — one row per (table, version)
+    with the row count visible AT that version, the per-partition
+    lineage fan-out, and the lineage row-sum (which must reconcile with
+    the table count: the "metrics alongside each snapshot" contract).
+    Oracle: pure fixture-derived SQL (counts of the crawl slices)."""
+    import shutil
+    import tempfile
+
+    from mashspark import snapshots as snap
+    from mashspark.runs import dedup_snapshot_run
+
+    work = tempfile.mkdtemp(prefix="mashspark_runs_q_")
+    try:
+        root = f"{work}/run"
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        cfg = PipelineConfig(sketch=SketchParams(k=21, s=256, seed=42),
+                             jaccard_threshold=0.7)
+        dedup_snapshot_run(spark, d.filter(F.col("doc_id") < 300), cfg,
+                           root, input_tag="c1", n_buckets=4)
+        dedup_snapshot_run(spark, d.filter(F.col("doc_id") < 400), cfg,
+                           root, input_tag="c2", n_buckets=4)
+        rows = []
+        for tbl in ("sketches", "clusters"):
+            for s in snap.snapshots(f"{root}/{tbl}"):
+                v = s["version"]
+                n = snap.read_table(
+                    spark, f"{root}/{tbl}", version=v).count()
+                parts = s["summary"].get("partitions") or {}
+                rows.append((
+                    tbl, v, s["operation"], n, len(parts),
+                    sum(p["n_rows"] for p in parts.values())
+                    if parts else n,
+                ))
+        return spark.createDataFrame(
+            rows, "tbl string, version int, operation string, "
+                  "n_rows long, n_partitions int, lineage_rows long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_substring_dup_doc_pairs(spark, sf_dir):
     """Suffix-array-style exact-substring dedup (third north-rule family)
     via anchor hashing; at stride=1 a pair appears iff the docs share an
@@ -1867,6 +1910,8 @@ DRIVER_GREEN_HISTORY = {
     # as unverified until a green row lands
     "cluster_representatives": 0,
     "budget_selection": 0,
+    # round-5 additions
+    "pipeline_snapshot_runs": 0,
     # round-3 green, outside the round-4 window
     "doc_stats": 3, "exact_dup_groups": 3, "exact_dup_pairs": 3,
     "token_counts": 3, "quality_scores": 3, "shingle_cardinality": 3,
@@ -1938,6 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_decisions": _q_cross_dedup_decisions,
         "cluster_representatives": _q_cluster_representatives,
         "budget_selection": _q_budget_selection,
+        # ---- tier 2: round-5 additions (must land inside the window) ----
+        "pipeline_snapshot_runs": _q_pipeline_snapshot_runs,
         # ---- tier 3: round-3 green, least recently checked --------------
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -2243,6 +2290,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'overwrite',
                    (SELECT count(*) FROM documents WHERE doc_id < 30)
+        """,
+        # one sketch/cluster row per doc at each crawl; the sketch
+        # snapshot's partition lineage fans out over the run's 4
+        # checkpoint buckets and its row-sum reconciles with the table
+        "pipeline_snapshot_runs": """
+            WITH c1 AS (SELECT count(*) AS n FROM documents
+                        WHERE doc_id < 300),
+                 c2 AS (SELECT count(*) AS n FROM documents
+                        WHERE doc_id < 400)
+            SELECT 'sketches' AS tbl, 1 AS version,
+                   'overwrite' AS operation,
+                   (SELECT n FROM c1) AS n_rows, 4 AS n_partitions,
+                   (SELECT n FROM c1) AS lineage_rows
+            UNION ALL
+            SELECT 'sketches', 2, 'overwrite', (SELECT n FROM c2), 4,
+                   (SELECT n FROM c2)
+            UNION ALL
+            SELECT 'clusters', 1, 'overwrite', (SELECT n FROM c1), 0,
+                   (SELECT n FROM c1)
+            UNION ALL
+            SELECT 'clusters', 2, 'overwrite', (SELECT n FROM c2), 0,
+                   (SELECT n FROM c2)
         """,
         # the stateful operator's contract IS first-arrival order
         # (micro-batch, then event ts, then doc_id), which for the

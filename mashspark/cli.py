@@ -326,6 +326,28 @@ def cmd_dedup(spark: SparkSession, args) -> int:
                          max_distance=args.max_dist,
                          max_pvalue=args.max_pvalue)
     docs = load_docs(spark, args.input)
+    if getattr(args, "snapshot_root", None):
+        # snapshot-committed run: bucket/stage/run resume, per-partition
+        # lineage in the sketch snapshot summary, time travel across
+        # --input-tag runs (runs.dedup_snapshot_run)
+        from .runs import dedup_snapshot_run
+
+        r = dedup_snapshot_run(
+            spark, docs, cfg, args.snapshot_root,
+            input_tag=args.input_tag, n_buckets=args.buckets)
+        r.clusters.write.mode("overwrite").parquet(
+            os.path.join(args.output, "clusters"))
+        metrics = {
+            "n_docs": r.clusters.count(),
+            "n_clusters": r.clusters.select("cluster_id")
+            .distinct().count(),
+            "sketch_version": r.sketch_version,
+            "cluster_version": r.cluster_version,
+            "resumed_sketches": r.resumed_sketches,
+            "resumed_clusters": r.resumed_clusters,
+        }
+        print(json.dumps(metrics), file=sys.stderr)
+        return 0
     res = dedup_pipeline(docs, cfg)
     res.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
     mio.write_dist_tsv(res.pairs, os.path.join(args.output, "pairs"))
@@ -872,6 +894,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--max-pvalue", type=float, default=None)
     p.add_argument("--tune-lsh", action="store_true",
                    help="solve the band config for the -j threshold")
+    p.add_argument("--snapshot-root", default=None,
+                   help="commit sketches + clusters through the "
+                        "snapshot log (resumable; time travel across "
+                        "--input-tag runs) instead of plain parquet")
+    p.add_argument("--input-tag", default="",
+                   help="crawl/run id for --snapshot-root resume + "
+                        "time-travel identity")
+    p.add_argument("--buckets", type=int, default=16,
+                   help="sketch checkpoint buckets for --snapshot-root")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("input")
     p.set_defaults(fn=cmd_dedup, min_copies=1)

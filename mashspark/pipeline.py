@@ -147,7 +147,33 @@ def dedup_pipeline(docs: DataFrame, config: PipelineConfig | None = None,
     # 8-core run) and overlapping partitions compute the sketch UDF
     # twice. One ordered materialization is strictly cheaper.
     sketches = sketches.localCheckpoint(eager=True)
+    return _cluster_sketches(spark, sketches, config, _ids0)
 
+
+def dedup_from_sketches(sketches: DataFrame,
+                        config: PipelineConfig | None = None) -> DedupResult:
+    """Clustering stages (exact collapse -> LSH -> verify -> CC) over a
+    PRE-BUILT sketch table — the resume path: a committed sketch
+    snapshot (``runs.dedup_snapshot_run``, ``io.read_sketches``) feeds
+    clustering without re-running the sketch UDF. Param compatibility
+    (F6) is enforced against the table's embedded params when present."""
+    config = config or PipelineConfig()
+    from .params import params_from_schema
+
+    emb = params_from_schema(sketches)
+    if emb is not None:
+        config.sketch.check_compatible(emb)
+    spark = sketches.sparkSession
+    _ids0 = _persistent_rdd_ids(spark)
+    # same materialization rationale as dedup_pipeline: multi-consumer
+    # fan-out (exact collapse + reps semi-join) over fat binary rows
+    sketches = sketches.localCheckpoint(eager=True)
+    return _cluster_sketches(spark, sketches, config, _ids0)
+
+
+def _cluster_sketches(spark: SparkSession, sketches: DataFrame,
+                      config: PipelineConfig, _ids0: set) -> DedupResult:
+    sp = config.sketch
     # exact_groups is consumed by reps, member edges and user inspection;
     # persist the skinny (doc_id, rep_id) map so the fp groupBy+join runs
     # once (16 B rows — columnar cache is fine at this width).

@@ -564,3 +564,41 @@ def test_cli_budget_selection(spark, tmp_path, capsys):
     spark.createDataFrame([(1, "t")], "doc_id long, text string") \
         .write.parquet(nos)
     assert cli.main(["budget", "-t", "5", "-o", out, nos]) == 2
+
+
+def test_cli_dedup_snapshot_root_resumes(spark, docs_parquet, tmp_path,
+                                         capsys):
+    """--snapshot-root commits sketches + clusters through the snapshot
+    log; a second identical invocation resumes both stages; a new
+    --input-tag commits fresh versions with time travel to the first."""
+    from mashspark import snapshots as snap
+
+    root = str(tmp_path / "snaproot")
+    out = str(tmp_path / "snap.out")
+    args = ["dedup", *FLAGS, "-j", "0.5", "--snapshot-root", root,
+            "--input-tag", "c1", "--buckets", "4", "-o", out,
+            docs_parquet]
+    assert cli.main(args) == 0
+    m1 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert (m1["sketch_version"], m1["cluster_version"]) == (1, 1)
+    assert not m1["resumed_sketches"]
+    assert m1["n_docs"] == 12 and m1["n_clusters"] == 6
+    # clusters parquet written alongside
+    cl = spark.read.parquet(os.path.join(out, "clusters"))
+    assert cl.count() == 12
+
+    assert cli.main(args) == 0
+    m2 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert m2["resumed_sketches"] and m2["resumed_clusters"]
+    assert m2["cluster_version"] == 1
+
+    args2 = ["dedup", *FLAGS, "-j", "0.5", "--snapshot-root", root,
+             "--input-tag", "c2", "--buckets", "4", "-o", out,
+             docs_parquet]
+    assert cli.main(args2) == 0
+    m3 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert m3["cluster_version"] == 2 and not m3["resumed_clusters"]
+    assert snap.read_table(
+        spark, os.path.join(root, "clusters"), version=1).count() == 12
+    s = snap.snapshot(os.path.join(root, "sketches"), 2)["summary"]
+    assert len(s["partitions"]) == 4
