@@ -1039,25 +1039,58 @@ def _q_best_k_hits(spark, sf_dir):
     return best_k_hits(pairs, b=3).select("id_a", "id_b", "n_inter", "n_a", "n_b")
 
 
+def _media_fixture_payloads() -> dict[int, bytes]:
+    """Deterministic per-residue payloads for media_payload_stats — the
+    SAME bytes on the Spark side (column literals) and the oracle side
+    (length constants baked into the SQL): a real baseline JPEG, a
+    progressive JPEG the real decoder refuses (stub fallback), a real
+    BMP, a real WAV."""
+    import numpy as np
+
+    from mashspark.codecs import encode_bmp, encode_wav
+    from mashspark.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = ((y * 16 + x) % 256).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], img.T], axis=2)
+    # SOF2 (progressive) with a well-formed 11-byte segment: the decoder
+    # refuses it deterministically ("non-baseline SOF")
+    prog = (b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11"
+            b"\x00\xFF\xD9")
+    t = np.arange(256)
+    wav = encode_wav((1000 * np.sin(t / 5)).astype(np.int16), 8000)
+    return {0: encode_jpeg(rgb, quality=85), 1: prog,
+            2: encode_bmp(rgb), 3: wav}
+
+
 def _q_media_payload_stats(spark, sf_dir):
     """Multimodal binary-column plumbing exercised through the driver
-    contract: documents' text bytes become an opaque ``payload`` binary
-    column, run through the Arrow-batched mapInPandas feature extractor
-    (``multimodal.extract_media_features`` — decode kernel stubbed, the
-    Spark plumbing real), and the per-item byte counts plus exact-dup
-    group sizes are oracle-checked against octet_length / text equality
-    in SQL. content_hash/feature columns are murmur-derived (not
-    SQL-expressible) and are validated by pytest instead."""
+    contract: per doc_id%5 residue the ``payload`` binary column carries
+    a real baseline JPEG / a progressive JPEG (real decoder refuses ->
+    stub fallback) / a real BMP / a real WAV / the doc's text bytes, all
+    run through the Arrow-batched mapInPandas feature extractor
+    (``multimodal.extract_media_features``). Oracle-checked: byte
+    counts, the magic-sniffed container format, the real-vs-stub decode
+    route (n_decoded_real / n_stub_fallback per format in aggregate),
+    and exact-dup group sizes. content_hash/feature columns are
+    murmur-derived (not SQL-expressible) and validated by pytest."""
     from mashspark.multimodal import extract_media_features
 
+    pl = _media_fixture_payloads()
+    r = F.col("doc_id") % 5
+    payload = (
+        F.when(r == 0, F.lit(pl[0])).when(r == 1, F.lit(pl[1]))
+        .when(r == 2, F.lit(pl[2])).when(r == 3, F.lit(pl[3]))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
     media = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < 300)
         .select(
             F.col("doc_id").alias("media_id"),
             F.lit("image").alias("kind"),
-            F.lit("text/fake").alias("mime"),
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            payload.alias("payload"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
@@ -1071,7 +1104,7 @@ def _q_media_payload_stats(spark, sf_dir):
     return (
         feats.join(dup_sizes.select(F.col("min_id").alias("media_id"), "n_copies"),
                    "media_id", "left")
-        .select("media_id", "n_bytes",
+        .select("media_id", "n_bytes", "fmt", "decoded_real",
                 F.coalesce("n_copies", F.lit(0)).alias("group_lead_copies"))
     )
 
@@ -2393,19 +2426,42 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_mean
             FROM s
         """,
-        "media_payload_stats": """
+        # residue->payload bytes are deterministic constants (see
+        # _media_fixture_payloads); the oracle bakes their lengths in
+        # and replicates the magic sniff + decode-route outcome per
+        # residue (0=real jpeg, 1=progressive jpeg -> refused, 2=bmp,
+        # 3=wav, 4=text bytes -> no magic; fixture texts verified free
+        # of magic-prefix collisions at every sf)
+        "media_payload_stats": f"""
             WITH m AS (
-                SELECT doc_id AS media_id,
-                       octet_length(encode(text)) AS n_bytes, text
+                SELECT doc_id AS media_id, CAST(doc_id % 5 AS INT) AS r,
+                       text
                 FROM documents WHERE doc_id < 300
+            ),
+            e AS (
+                SELECT media_id, r, text,
+                       CASE r
+                         WHEN 0 THEN {len(_media_fixture_payloads()[0])}
+                         WHEN 1 THEN {len(_media_fixture_payloads()[1])}
+                         WHEN 2 THEN {len(_media_fixture_payloads()[2])}
+                         WHEN 3 THEN {len(_media_fixture_payloads()[3])}
+                         ELSE octet_length(encode(text)) END AS n_bytes,
+                       CASE r WHEN 0 THEN 'jpeg' WHEN 1 THEN 'jpeg'
+                              WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+                              ELSE 'unknown' END AS fmt,
+                       r IN (0, 2, 3) AS decoded_real,
+                       CASE WHEN r < 4 THEN 'f:' || CAST(r AS VARCHAR)
+                            ELSE 't:' || text END AS grp
+                FROM m
             ),
             g AS (
                 SELECT min(media_id) AS lead, count(*) AS n_copies
-                FROM m GROUP BY text
+                FROM e GROUP BY grp
             )
-            SELECT m.media_id, m.n_bytes,
+            SELECT e.media_id, CAST(e.n_bytes AS BIGINT) AS n_bytes,
+                   e.fmt, e.decoded_real,
                    COALESCE(g.n_copies, 0) AS group_lead_copies
-            FROM m LEFT JOIN g ON g.lead = m.media_id
+            FROM e LEFT JOIN g ON g.lead = e.media_id
         """,
         "best_k_hits": """
             WITH toks AS (

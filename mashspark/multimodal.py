@@ -27,9 +27,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
-                               IntegerType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                               DoubleType, FloatType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from .hashing import murmur3_x64_128_h1
 
@@ -50,6 +50,8 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("content_hash", LongType(), False),
         StructField("n_bytes", LongType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("decoded_real", BooleanType(), False),
         StructField("feature", ArrayType(FloatType()), False),
     ]
 )
@@ -72,8 +74,26 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return plane.astype(np.float32) / 255.0
 
 
-def decode_media(payload: bytes) -> np.ndarray:
-    """payload bytes -> 2-D float32 plane in [0, 1]-ish range, by magic:
+def payload_format(payload: bytes) -> str:
+    """Magic-byte container sniff (pure prefix check, no decode):
+    'wav' | 'jpeg' | 'y4m' | 'bmp' | 'pnm' | 'unknown'."""
+    if (len(payload) >= 12 and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"):
+        return "wav"
+    if payload[:2] == b"\xFF\xD8":
+        return "jpeg"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    return "unknown"
+
+
+def decode_media_routed(payload: bytes) -> tuple[np.ndarray, str, bool]:
+    """payload bytes -> (2-D float32 plane, format, decoded_real), by
+    magic:
 
     * ``RIFF..WAVE`` -> real WAV decode -> energy/autocorrelation plane
     * ``BM`` -> real BMP decode -> luma plane (mean over RGB / 255)
@@ -82,42 +102,51 @@ def decode_media(payload: bytes) -> np.ndarray:
     * anything else (PNG/progressive JPEG/... need codec libs) ->
       deterministic stub
 
-    A malformed payload with a recognized magic falls back to the stub
-    instead of failing the task (corrupt rows are data, not bugs, at
-    100 TB)."""
+    ``decoded_real`` is False when no real codec matched OR the matched
+    codec refused/failed (progressive JPEG, truncated stream): corrupt
+    rows are data, not bugs, at 100 TB — they degrade to the stub, and
+    the (format, decoded_real) pair lets pipelines report exactly what
+    fraction of a crawl's media took the real path per container."""
     from . import codecs
 
+    fmt = payload_format(payload)
     try:
-        if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if fmt == "wav":
             samples, _rate = codecs.decode_wav(payload)
-            return codecs.audio_energy_plane(samples)
-        if payload[:2] == b"\xFF\xD8":
+            return codecs.audio_energy_plane(samples), fmt, True
+        if fmt == "jpeg":
             from .jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
             if img.ndim == 3:
                 img = img.mean(axis=2)
-            return img.astype(np.float32) / 255.0
-        if payload[:9] == b"YUV4MPEG2":
+            return img.astype(np.float32) / 255.0, fmt, True
+        if fmt == "y4m":
             frames, _fps = codecs.decode_y4m(payload)
             # whole-video feature: temporal mean of the luma planes
-            return frames.mean(axis=0).astype(np.float32) / 255.0
-        if payload[:2] == b"BM":
+            return frames.mean(axis=0).astype(np.float32) / 255.0, fmt, True
+        if fmt == "bmp":
             img = codecs.decode_bmp(payload)
-            return img.mean(axis=2).astype(np.float32) / 255.0
-        if payload[:2] in (b"P5", b"P6"):
+            return img.mean(axis=2).astype(np.float32) / 255.0, fmt, True
+        if fmt == "pnm":
             img = codecs.decode_pnm(payload)
             if img.ndim == 3:
                 img = img.mean(axis=2)
-            return img.astype(np.float32) / 255.0
+            return img.astype(np.float32) / 255.0, fmt, True
     except (ValueError, IndexError, KeyError, struct.error):
-        # corrupt rows are data, not bugs: truncated/malformed payloads
-        # (routine in crawls) raise any of these from the pure-python
-        # codecs (e.g. decode_jpeg: IndexError past-end marker scan,
-        # struct.error on short segments, KeyError on stripped DHT) —
-        # all degrade to the stub instead of crashing the Spark task
+        # truncated/malformed payloads (routine in crawls) raise any of
+        # these from the pure-python codecs (e.g. decode_jpeg:
+        # IndexError past-end marker scan, struct.error on short
+        # segments, KeyError on stripped DHT) — all degrade to the stub
+        # instead of crashing the Spark task
         pass
-    return _decode_image_stub(payload)
+    return _decode_image_stub(payload), fmt, False
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """decode_media_routed without the routing metadata."""
+    plane, _fmt, _real = decode_media_routed(payload)
+    return plane
 
 
 def _feature_from_plane(plane: np.ndarray, dim: int = 16) -> np.ndarray:
@@ -144,7 +173,7 @@ def extract_media_features(media: DataFrame, batch_target_rows: int = 256) -> Da
             ids = pdf["media_id"].to_numpy(dtype=np.int64)
             out_hash = np.zeros(len(pdf), dtype=np.int64)
             out_bytes = np.zeros(len(pdf), dtype=np.int64)
-            feats = []
+            fmts, reals, feats = [], [], []
             for i, payload in enumerate(pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 row = np.frombuffer(b, dtype=np.uint8).reshape(1, -1)
@@ -154,13 +183,17 @@ def extract_media_features(media: DataFrame, batch_target_rows: int = 256) -> Da
                     murmur3_x64_128_h1(row, 42)[0].astype(np.uint64) ^ np.uint64(1 << 63)
                 )
                 out_bytes[i] = len(b)
-                plane = decode_media(b)
+                plane, fmt, real = decode_media_routed(b)
+                fmts.append(fmt)
+                reals.append(real)
                 feats.append(_feature_from_plane(plane))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "content_hash": out_hash,
                     "n_bytes": out_bytes,
+                    "fmt": fmts,
+                    "decoded_real": reals,
                     "feature": feats,
                 }
             )

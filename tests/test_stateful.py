@@ -225,3 +225,60 @@ def test_band_dedup_never_emits_self_pairs_on_replay(spark, tmp_path,
         "self-pair emitted on replay")
     pairs = {(r["doc_id"], r["matched_id"]) for r in rows}
     assert (2, 1) in pairs, "real pair must survive the replay filter"
+
+
+def test_band_dedup_candidates_cover_batch_verified_pairs(spark, tmp_path):
+    """Streaming/batch drift gate (the shared-kernel guarantee, asserted
+    end-to-end): over a planted webtext corpus, the stateful operator's
+    emitted candidate set must COVER every duplicate edge the batch
+    pipeline verifies — the streaming analog of the LSH recall gate.
+    The stateful threshold runs with margin (0.55 vs batch 0.7) because
+    its register holds a 128-hash prefix estimate, not the full-sketch
+    Jaccard the batch verifier computes."""
+    from mashspark.params import PipelineConfig
+    from mashspark.pipeline import dedup_pipeline
+    from mashspark.webtext import webtext_spark_df
+
+    params = SketchParams(k=21, s=256, seed=42)
+    lsh = LSHParams(bands=32, prefix=64)
+    cfg = PipelineConfig(sketch=params, lsh=lsh, jaccard_threshold=0.7)
+
+    # arrival order must equal id order so the register's first-arrival
+    # rep matches the batch min-id rep: ts = epoch + doc_id seconds
+    docs = (
+        webtext_spark_df(spark, n_base=40, seed=3)
+        .select(
+            "doc_id", "text",
+            (F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+             + F.make_interval(secs=F.col("doc_id").cast("double"))
+             ).alias("warc_ts"),
+        )
+    )
+    res = dedup_pipeline(docs, cfg)
+    batch_edges = {
+        frozenset((r["src"], r["dst"])) for r in res.edges.collect()
+    }
+    res.release()
+    assert batch_edges, "fixture must plant duplicate families"
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    thirds = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * thirds: (i + 1) * thirds if i < 2 else len(pdf)]
+        chunk.to_parquet(d / f"chunk{i}.parquet", coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+    out = _run_stream(
+        spark, d,
+        lambda s: stateful_band_dedup(s, params, lsh, cap=256,
+                                      jaccard_threshold=0.55),
+        "band_parity")
+    stream_pairs = {
+        frozenset((r["doc_id"], r["matched_id"])) for r in out.collect()
+    }
+    missed = batch_edges - stream_pairs
+    assert not missed, (
+        f"stateful candidates missed {len(missed)}/{len(batch_edges)} "
+        f"batch-verified duplicate edges: {sorted(tuple(m) for m in list(missed)[:5])}"
+    )

@@ -34,14 +34,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def _cell(v) -> str:
     """Driver-style canonical string for one value: nulls collapse to a
-    sentinel; everything else is its plain str() (so 3 != 3.0 — type
-    drift between op and oracle is a FAILURE, not noise)."""
+    sentinel, values are TYPE-TAGGED (so a DOUBLE 3.0 is 'f:3' and a
+    BIGINT 3 is 'i:3' — type drift between op and oracle is a FAILURE,
+    not noise), and floats round to 12 significant digits (the driver
+    hash tolerates cross-engine double ULP noise — round-4 evidence:
+    video_frame_samples hash-matched with 1-ULP frame_mean diffs while
+    cluster_representatives failed on DOUBLE-vs-BIGINT)."""
     if v is None:
         return "<NULL>"
-    if isinstance(v, float) and np.isnan(v):
-        return "<NULL>"
-    if isinstance(v, (np.floating,)) and np.isnan(v):
-        return "<NULL>"
+    if isinstance(v, (float, np.floating)):
+        return "<NULL>" if np.isnan(v) else f"f:{float(v):.12g}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, np.ndarray):
@@ -52,7 +58,17 @@ def _cell(v) -> str:
 def canon_strict(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(_cell)
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.map(lambda v: "<NULL>" if pd.isna(v)
+                          else f"f:{float(v):.12g}")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.map(lambda v: f"b:{bool(v)}")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.map(lambda v: "<NULL>" if pd.isna(v)
+                          else f"i:{int(v)}")
+        else:
+            df[c] = s.map(_cell)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
