@@ -2061,9 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dup_pairs": _q_media_phash_dup_pairs,
         "streaming_dedup_decisions": _q_streaming_dedup_decisions,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
-        "dedup_tier_counts": _q_dedup_tier_counts,
         # ======== DRIVER_WINDOW boundary (50) ===========================
         # ---- tier 4b: round-4 green, dark this round --------------------
+        "dedup_tier_counts": _q_dedup_tier_counts,
         "video_frame_samples": _q_video_frame_samples,
         "events_hourly": _q_events_hourly,
         "url_dup_groups": _q_url_dup_groups,
