@@ -1412,6 +1412,15 @@ def main():
     from mashspark.params import LSHParams, SketchParams
     from mashspark.sketch import sketch_documents
 
+    # untimed warm-up: one tiny pipeline pass brings JIT, the python
+    # worker pool, and the shuffle/checkpoint paths to steady state
+    # before any timed query — the same discipline the scale legs apply
+    # inside each fresh JVM. Measured (sf0.1, 12 cores): the FIRST
+    # pipeline in a session runs 12.3 s vs 5.0-5.6 s for the identical
+    # job warm, i.e. q2 had been paying ~7 s of one-time session cost
+    # every round (the q2 "floor" round 4 flagged).
+    _run_pipeline(spark, docs_sf.filter(F.col("doc_id") < 300))
+
     t0 = time.time()
     sk = sketch_documents(docs_sf, SketchParams(), LSHParams())
     sk.select((F.sum(F.length("sketch")) / 8).cast("long")).collect()
