@@ -76,12 +76,17 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 def payload_format(payload: bytes) -> str:
     """Magic-byte container sniff (pure prefix check, no decode):
-    'wav' | 'jpeg' | 'y4m' | 'bmp' | 'pnm' | 'unknown'."""
+    'wav' | 'jpeg' | 'png' | 'gif' | 'y4m' | 'bmp' | 'pnm' |
+    'unknown'."""
     if (len(payload) >= 12 and payload[:4] == b"RIFF"
             and payload[8:12] == b"WAVE"):
         return "wav"
     if payload[:2] == b"\xFF\xD8":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     if payload[:2] == b"BM":
@@ -99,7 +104,11 @@ def decode_media_routed(payload: bytes) -> tuple[np.ndarray, str, bool]:
     * ``BM`` -> real BMP decode -> luma plane (mean over RGB / 255)
     * ``P5``/``P6`` -> real PNM decode -> luma plane
     * ``FF D8`` -> real baseline-JPEG decode (``jpeg.py``) -> luma plane
-    * anything else (PNG/progressive JPEG/... need codec libs) ->
+    * ``\\x89PNG`` -> real PNG decode (``png.py``: all color types,
+      Adam7) -> luma plane
+    * ``GIF8?a`` -> real GIF decode (``gif.py``: LZW, first frame) ->
+      luma plane
+    * anything else (progressive JPEG, WebP/AVIF, ...) ->
       deterministic stub
 
     ``decoded_real`` is False when no real codec matched OR the matched
@@ -121,6 +130,16 @@ def decode_media_routed(payload: bytes) -> tuple[np.ndarray, str, bool]:
             if img.ndim == 3:
                 img = img.mean(axis=2)
             return img.astype(np.float32) / 255.0, fmt, True
+        if fmt == "png":
+            from .png import decode_png
+
+            img = decode_png(payload)
+            return img.mean(axis=2).astype(np.float32) / 255.0, fmt, True
+        if fmt == "gif":
+            from .gif import decode_gif
+
+            img = decode_gif(payload)
+            return img.mean(axis=2).astype(np.float32) / 255.0, fmt, True
         if fmt == "y4m":
             frames, _fps = codecs.decode_y4m(payload)
             # whole-video feature: temporal mean of the luma planes

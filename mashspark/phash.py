@@ -73,11 +73,13 @@ def ahash_from_plane(plane: np.ndarray) -> int:
     )
 
 
-_REAL_MAGICS = (b"BM", b"P5", b"P6", b"RIFF", b"YUV4MPEG2", b"\xFF\xD8")
-
-
 def _looks_real(b: bytes) -> bool:
-    return any(b[: len(m)] == m for m in _REAL_MAGICS)
+    """A real codec path exists for this payload's magic (the decode
+    may still fall back on corrupt bytes — phash_media records the
+    ACTUAL outcome via decode_media_routed)."""
+    from .multimodal import payload_format
+
+    return payload_format(b) != "unknown"
 
 
 def phash_media(media: DataFrame, id_col: str = "media_id",
@@ -99,7 +101,7 @@ def phash_media(media: DataFrame, id_col: str = "media_id",
         raise ValueError(f"unknown phash method {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .multimodal import decode_media
+        from .multimodal import decode_media_routed
 
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -109,8 +111,8 @@ def phash_media(media: DataFrame, id_col: str = "media_id",
             for i, payload in enumerate(pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 nbytes[i] = len(b)
-                real[i] = _looks_real(b)
-                hashes[i] = hasher(decode_media(b))
+                plane, _fmt, real[i] = decode_media_routed(b)
+                hashes[i] = hasher(plane)
             yield pd.DataFrame(
                 {"media_id": ids, "phash": hashes, "n_bytes": nbytes,
                  "decoded_real": real}
