@@ -1042,32 +1042,29 @@ def _q_best_k_hits(spark, sf_dir):
 def _media_fixture_payloads() -> dict[int, bytes]:
     """Deterministic per-residue payloads for media_payload_stats — the
     SAME bytes on the Spark side (column literals) and the oracle side
-    (length constants baked into the SQL): a real baseline JPEG, a
-    progressive JPEG the real decoder refuses (stub fallback), a real
-    BMP, a real WAV."""
+    (length constants baked into the SQL): a real baseline JPEG, a real
+    PROGRESSIVE JPEG (four-scan-kind script — real decode since round
+    5), a real BMP, a real WAV."""
     import numpy as np
 
     from mashspark.codecs import encode_bmp, encode_wav
-    from mashspark.jpeg import encode_jpeg
+    from mashspark.jpeg import encode_jpeg, encode_jpeg_progressive
 
     y, x = np.mgrid[0:16, 0:16]
     img = ((y * 16 + x) % 256).astype(np.uint8)
     rgb = np.stack([img, img[::-1], img.T], axis=2)
-    # SOF2 (progressive) with a well-formed 11-byte segment: the decoder
-    # refuses it deterministically ("non-baseline SOF")
-    prog = (b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11"
-            b"\x00\xFF\xD9")
     t = np.arange(256)
     wav = encode_wav((1000 * np.sin(t / 5)).astype(np.int16), 8000)
-    return {0: encode_jpeg(rgb, quality=85), 1: prog,
+    return {0: encode_jpeg(rgb, quality=85),
+            1: encode_jpeg_progressive(rgb, quality=85),
             2: encode_bmp(rgb), 3: wav}
 
 
 def _q_media_payload_stats(spark, sf_dir):
     """Multimodal binary-column plumbing exercised through the driver
     contract: per doc_id%5 residue the ``payload`` binary column carries
-    a real baseline JPEG / a progressive JPEG (real decoder refuses ->
-    stub fallback) / a real BMP / a real WAV / the doc's text bytes, all
+    a real baseline JPEG / a real PROGRESSIVE JPEG (both take the real
+    decode path) / a real BMP / a real WAV / the doc's text bytes, all
     run through the Arrow-batched mapInPandas feature extractor
     (``multimodal.extract_media_features``). Oracle-checked: byte
     counts, the magic-sniffed container format, the real-vs-stub decode
@@ -2429,9 +2426,10 @@ def oracle_sql() -> dict[str, str]:
         # residue->payload bytes are deterministic constants (see
         # _media_fixture_payloads); the oracle bakes their lengths in
         # and replicates the magic sniff + decode-route outcome per
-        # residue (0=real jpeg, 1=progressive jpeg -> refused, 2=bmp,
-        # 3=wav, 4=text bytes -> no magic; fixture texts verified free
-        # of magic-prefix collisions at every sf)
+        # residue (0=baseline jpeg, 1=progressive jpeg — BOTH real
+        # decode paths since round 5, 2=bmp, 3=wav, 4=text bytes -> no
+        # magic; fixture texts verified free of magic-prefix collisions
+        # at every sf)
         "media_payload_stats": f"""
             WITH m AS (
                 SELECT doc_id AS media_id, CAST(doc_id % 5 AS INT) AS r,
@@ -2449,7 +2447,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE r WHEN 0 THEN 'jpeg' WHEN 1 THEN 'jpeg'
                               WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
                               ELSE 'unknown' END AS fmt,
-                       r IN (0, 2, 3) AS decoded_real,
+                       r IN (0, 1, 2, 3) AS decoded_real,
                        CASE WHEN r < 4 THEN 'f:' || CAST(r AS VARCHAR)
                             ELSE 't:' || text END AS grp
                 FROM m

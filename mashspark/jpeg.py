@@ -1,23 +1,30 @@
-"""Baseline-JPEG codec in pure numpy — closes the last §2.9 decode stub.
+"""JPEG codec in pure numpy — baseline sequential AND progressive.
 
 The sandbox ships no codec libraries (no Pillow / libjpeg / ffmpeg), so
 ``multimodal.decode_media`` previously routed JPEG payloads to a
-documented deterministic stub.  This module implements the baseline
-sequential DCT process of ITU-T T.81 (JFIF) from the public spec:
+documented deterministic stub.  This module implements the DCT
+processes of ITU-T T.81 (JFIF) from the public spec:
 
-* **decode**: marker parse (SOI/APP/DQT/SOF0/DHT/DRI/SOS/EOI), canonical
-  Huffman decode of the entropy-coded segment (byte-destuffing, restart
-  markers), dequantize, zigzag, 8x8 IDCT as two orthonormal matrix
-  multiplies, chroma upsample for any (Hi, Vi) sampling grid (4:4:4,
-  4:2:0, 4:2:2, ...), and JFIF full-range YCbCr -> RGB.
+* **decode**: marker parse (SOI/APP/DQT/SOF0/2/DHT/DRI/SOS/EOI),
+  canonical Huffman decode of the entropy-coded segment
+  (byte-destuffing, restart markers), dequantize, zigzag, 8x8 IDCT as
+  two orthonormal matrix multiplies, chroma upsample for any (Hi, Vi)
+  sampling grid (4:4:4, 4:2:0, 4:2:2, ...), and JFIF full-range
+  YCbCr -> RGB.  Progressive (SOF2) streams decode through all four
+  scan kinds — DC first / DC refinement / AC spectral-selection first /
+  AC successive-approximation refinement with EOB-run coding (T.81
+  G.2) — validated against real libjpeg-encoded progressive files
+  (custom tables, EOBn>1 runs) shipped with system packages.
 * **encode**: the matching baseline encoder (Annex K quant tables scaled
   by the libjpeg quality formula, Annex K Huffman tables, optional 2x2
-  chroma subsampling) so tests and fixtures can round-trip real JPEG
-  bytes with zero external data.
+  chroma subsampling) plus a progressive encoder emitting the full
+  four-kind scan script, so tests can pin that a progressive decode is
+  bit-identical to the baseline decode of the same quantized
+  coefficients — with zero external data.
 
-Scope (documented, deliberate): baseline sequential only — no
-progressive scans, no arithmetic coding, no 12-bit precision, no CMYK.
-Those route to ``ValueError`` and the caller's corrupt-row fallback.
+Scope (documented, deliberate): no arithmetic coding, no lossless/
+hierarchical processes, no 12-bit precision, no CMYK.  Those route to
+``ValueError`` and the caller's corrupt-row fallback.
 
 Performance: the per-symbol Huffman loop is Python, but each step is a
 single O(1) lookup in a 16-bit peek table; the DCT/IDCT, dequantize,
@@ -294,20 +301,43 @@ def _category(v: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "blocks", "bw", "bh")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "blocks", "bw", "bh",
+                 "nbx", "nby")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
         self.td = self.ta = 0
-        self.blocks = None  # (n_blocks_y, n_blocks_x, 64) zigzag coeffs
+        self.blocks = None  # (n_blocks_y * n_blocks_x, 64) zigzag coeffs
         self.bw = self.bh = 0
+        # non-interleaved scan geometry (T.81 A.2.2: ceil of the
+        # component's true sample dims, NOT the padded MCU grid)
+        self.nbx = self.nby = 0
+
+
+def _alloc_blocks(comps: list[_Component], width: int, height: int) -> None:
+    """Allocate every frame component's coefficient array on the padded
+    MCU grid and record the non-interleaved block dims (progressive AC
+    scans iterate those, writing into the padded layout)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcux * c.h
+        c.bh = mcuy * c.v
+        c.blocks = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+        cw = (width * c.h + hmax - 1) // hmax
+        ch = (height * c.v + vmax - 1) // vmax
+        c.nbx = (cw + 7) // 8
+        c.nby = (ch + 7) // 8
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (or (h, w) for
-    single-component grayscale scans).  Raises ``ValueError`` on
-    non-baseline or malformed streams (progressive SOF2, arithmetic,
-    truncation) — callers treat that as a corrupt row, never a crash."""
+    """Baseline-sequential OR progressive JFIF bytes -> (h, w, 3) uint8
+    RGB (or (h, w) for single-component grayscale scans).  Raises
+    ``ValueError`` on unsupported (arithmetic/lossless/hierarchical/
+    12-bit) or malformed/truncated streams — callers treat that as a
+    corrupt row, never a crash."""
     if len(payload) < 4 or payload[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -316,6 +346,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[_Component] = []
     height = width = 0
     restart_interval = 0
+    progressive = False
+    n_scans = 0
     n = len(payload)
 
     while pos < n:
@@ -325,7 +357,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if n_scans:
+                break  # progressive: end of the scan sequence
             raise ValueError("EOI before scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -355,7 +389,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nvals])
                 htables[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -372,9 +407,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         f"invalid SOF sampling factors ({h},{v})")
                 comps.append(_Component(cid, h, v, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline SOF (progressive/arithmetic)")
+            raise ValueError(
+                "unsupported SOF (lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -391,6 +427,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(scan_comps) != len(sel):
                 raise ValueError("SOS references unknown component")
             data_end = _find_scan_end(payload, pos)
+            if progressive:
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("truncated progressive SOS header")
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if not comps:
+                    raise ValueError("SOS before SOF")
+                if comps[0].blocks is None:
+                    _alloc_blocks(comps, width, height)
+                _decode_scan_prog(payload[pos:data_end], scan_comps,
+                                  htables, restart_interval,
+                                  ss, se, ahal >> 4, ahal & 0x0F)
+                n_scans += 1
+                pos = data_end
+                continue  # more scans until EOI
             _decode_scan(payload[pos:data_end], scan_comps, htables,
                          width, height, restart_interval)
             pos = data_end
@@ -417,19 +468,8 @@ def _find_scan_end(payload: bytes, pos: int) -> int:
     return n
 
 
-def _decode_scan(data: bytes, comps: list[_Component],
-                 htables: dict, width: int, height: int,
-                 restart_interval: int) -> None:
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    for c in comps:
-        c.bw = mcux * c.h
-        c.bh = mcuy * c.v
-        c.blocks = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
-
-    # split at restart markers, destuff each interval
+def _split_intervals(data: bytes) -> list[bytes]:
+    """Split entropy data at RST markers and destuff each interval."""
     intervals: list[bytes] = []
     start = 0
     i = 0
@@ -442,7 +482,22 @@ def _decode_scan(data: bytes, comps: list[_Component],
         else:
             i += 1
     intervals.append(data[start:])
-    intervals = [seg.replace(b"\xFF\x00", b"\xFF") for seg in intervals]
+    return [seg.replace(b"\xFF\x00", b"\xFF") for seg in intervals]
+
+
+def _decode_scan(data: bytes, comps: list[_Component],
+                 htables: dict, width: int, height: int,
+                 restart_interval: int) -> None:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcux * c.h
+        c.bh = mcuy * c.v
+        c.blocks = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+
+    intervals = _split_intervals(data)
 
     n_mcu = mcux * mcuy
     per_int = restart_interval if restart_interval else n_mcu
@@ -502,6 +557,165 @@ def _decode_block(br: _BitReader, dc: _HuffTable, ac: _HuffTable,
         out[k] = _extend(br.read(s), s)
         k += 1
     return pred
+
+
+# ---------------------------------------------------------------------------
+# Progressive scans (T.81 G.2, mirroring the libjpeg-documented control
+# flow): DC first / DC refine are interleaved over the scan's components;
+# AC first / AC refine are single-component with EOB-run coding.
+
+
+def _decode_scan_prog(data: bytes, comps: list[_Component], htables: dict,
+                      restart_interval: int, ss: int, se: int,
+                      ah: int, al: int) -> None:
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and (len(comps) != 1 or not ss <= se <= 63):
+        raise ValueError("bad progressive AC scan header")
+    if dc_scan and len(comps) > 1:
+        mcux = comps[0].bw // comps[0].h  # frame MCU grid (alloc'd)
+        mcuy = comps[0].bh // comps[0].v
+        n_units = mcux * mcuy
+    else:
+        c = comps[0]
+        n_units = c.nbx * c.nby
+        mcux = mcuy = 0
+    per_int = restart_interval if restart_interval else n_units
+    unit = 0
+    for seg in _split_intervals(data):
+        br = _BitReader(seg)
+        pred = {id(c): 0 for c in comps}
+        eobrun = 0
+        seg_last = min(n_units, unit + per_int)
+        while unit < seg_last:
+            if dc_scan and len(comps) > 1:
+                my, mx = divmod(unit, mcux)
+                for c in comps:
+                    tbl = htables.get((0, c.td)) if ah == 0 else None
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            blk = c.blocks[(my * c.v + by) * c.bw
+                                           + (mx * c.h + bx)]
+                            pred[id(c)] = _dc_prog(
+                                br, tbl, blk, pred[id(c)], ah, al)
+            else:
+                c = comps[0]
+                by, bx = divmod(unit, c.nbx)
+                blk = c.blocks[by * c.bw + bx]
+                if dc_scan:
+                    tbl = htables.get((0, c.td)) if ah == 0 else None
+                    pred[id(c)] = _dc_prog(br, tbl, blk, pred[id(c)],
+                                           ah, al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, htables[(1, c.ta)], blk,
+                                       ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, htables[(1, c.ta)], blk,
+                                        ss, se, al, eobrun)
+            if br.overrun():
+                raise ValueError("truncated entropy data")
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated entropy data")
+
+
+def _dc_prog(br: _BitReader, dc_tbl, blk: np.ndarray, pred: int,
+             ah: int, al: int) -> int:
+    if ah == 0:  # DC first: baseline DC decode, shifted by Al
+        peek = br.peek16()
+        size = int(dc_tbl.lut_sym[peek])
+        if size < 0:
+            raise ValueError("bad DC code")
+        br.skip(int(dc_tbl.lut_len[peek]))
+        pred += _extend(br.read(size), size)
+        blk[0] = pred << al
+        return pred
+    if br.read(1):  # DC refine: one correction bit
+        blk[0] = int(blk[0]) | (1 << al)
+    return pred
+
+
+def _ac_first(br: _BitReader, ac: _HuffTable, blk: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        peek = br.peek16()
+        rs = int(ac.lut_sym[peek])
+        if rs < 0:
+            raise ValueError("bad AC code")
+        br.skip(int(ac.lut_len[peek]))
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: _BitReader, ac: _HuffTable, blk: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±1<<Al after a run of zero-HISTORY
+    positions; every nonzero-history position passed contributes one
+    correction bit; EOB runs still carry correction bits for the rest
+    of the band."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            peek = br.peek16()
+            rs = int(ac.lut_sym[peek])
+            if rs < 0:
+                raise ValueError("bad AC code")
+            br.skip(int(ac.lut_len[peek]))
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                newval = 0  # ZRL: run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refine magnitude size")
+                newval = p1 if br.read(1) else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read(1) and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _reconstruct(comps: list[_Component], qtables: dict,
@@ -564,15 +778,10 @@ def _std_encode_tables() -> tuple[_HuffTable, ...]:
     return _STD_ENCODE_TABLES
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
-
-    ``subsample=True`` uses 4:2:0 chroma (exercises the decoder's
-    multi-block MCU + upsample path); default 4:4:4 keeps chroma
-    lossless-er for fixture round-trips.  ``restart_interval`` > 0 emits
-    a DRI segment and RSTn markers every that-many MCUs (exercises the
-    decoder's predictor-reset + byte-align path)."""
+def _quantize_image(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front end: color transform + DCT + quantize.
+    Returns (comp_blocks [(quant_zigzag, bw)], samps, gray, qy, qc,
+    h, w, mcux, mcuy)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -617,19 +826,32 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         qzz = q[ZIGZAG].astype(np.float64)
         quant = np.round(zz / qzz[None, :]).astype(np.int32)
         comp_blocks.append((quant, bw))
+    return comp_blocks, samps, gray, qy, qc, h, w, mcux, mcuy
 
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` uses 4:2:0 chroma (exercises the decoder's
+    multi-block MCU + upsample path); default 4:4:4 keeps chroma
+    lossless-er for fixture round-trips.  ``restart_interval`` > 0 emits
+    a DRI segment and RSTn markers every that-many MCUs (exercises the
+    decoder's predictor-reset + byte-align path)."""
+    comp_blocks, samps, gray, qy, qc, h, w, mcux, mcuy = _quantize_image(
+        img, quality, subsample)
     dc_y, ac_y, dc_c, ac_c = _std_encode_tables()
 
     bw_ = _BitWriter()
     entropy = bytearray()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
             bw_.flush()
             entropy += bw_.out
             entropy += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
             bw_ = _BitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * len(comp_blocks)
         my, mx = divmod(mcu, mcux)
         for ci, ((quant, cbw), (sh, sv)) in enumerate(
                 zip(comp_blocks, samps)):
@@ -729,3 +951,212 @@ def _dqt_segment(tq: int, q_natural: np.ndarray) -> bytes:
 def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
     return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2). Uses the Annex K baseline Huffman tables,
+# which contain every (run, size>=1) symbol plus EOB(0x00)/ZRL(0xF0) but
+# NOT the EOBn (n>1) run symbols — so EOB runs are flushed at length 1
+# (spec-valid; EOBn>1 decoding is unit-tested with a custom table).
+
+
+class _ProgAcWriter:
+    """Per-scan AC entropy state: EOB-run + buffered refinement bits."""
+
+    __slots__ = ("bw", "tab", "eobrun", "be")
+
+    def __init__(self, bw: _BitWriter, tab: _HuffTable):
+        self.bw, self.tab = bw, tab
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits owed to the EOB run
+
+    def _emit_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.tab.codes[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        if self.be:
+            self._emit_bits(self.be)
+            self.be = []
+
+    def block_first(self, blk: np.ndarray, ss: int, se: int,
+                    al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (abs(v)) >> al
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eob()
+            while r > 15:
+                code, ln = self.tab.codes[0xF0]
+                self.bw.write(code, ln)
+                r -= 16
+            s = t.bit_length()
+            code, ln = self.tab.codes[(r << 4) | s]
+            self.bw.write(code, ln)
+            mv = t if v >= 0 else -t
+            if mv < 0:
+                mv += (1 << s) - 1
+            self.bw.write(mv, s)
+            r = 0
+        if r:
+            self.eobrun += 1
+            self.flush_eob()  # Annex K tables: run length capped at 1
+
+    def block_refine(self, blk: np.ndarray, ss: int, se: int,
+                     al: int) -> None:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                self.flush_eob()
+                code, ln = self.tab.codes[0xF0]
+                self.bw.write(code, ln)
+                r -= 16
+                self._emit_bits(br)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            self.flush_eob()
+            code, ln = self.tab.codes[(r << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            self._emit_bits(br)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            self.flush_eob()  # capped at 1 (Annex K tables)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False,
+                            successive: bool = True) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> progressive (SOF2) JFIF bytes.
+
+    Scan script with ``successive=True`` (default): DC first at Al=1,
+    per-component AC first at Al=1, DC refinement, per-component AC
+    refinement — all four progressive scan kinds, so a decode of this
+    stream is bit-identical to a baseline decode at the same quality
+    (progressive coding reorganizes the same quantized coefficients).
+    ``successive=False`` emits spectral-selection-only scans (Al=0)."""
+    comp_blocks, samps, gray, qy, qc, h, w, mcux, mcuy = _quantize_image(
+        img, quality, subsample)
+    nc = len(comp_blocks)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dc_y, ac_y, dc_c, ac_c = _std_encode_tables()
+
+    # non-interleaved (true) block dims per component
+    geo = []
+    for (quant, cbw), (sh, sv) in zip(comp_blocks, samps):
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        geo.append(((cw + 7) // 8, (ch + 7) // 8, cbw))
+
+    if successive:
+        script = [(list(range(nc)), 0, 0, 0, 1)]
+        script += [([ci], 1, 63, 0, 1) for ci in range(nc)]
+        script += [(list(range(nc)), 0, 0, 1, 0)]
+        script += [([ci], 1, 63, 1, 0) for ci in range(nc)]
+    else:
+        script = [(list(range(nc)), 0, 0, 0, 0)]
+        script += [([ci], 1, 63, 0, 0) for ci in range(nc)]
+
+    body = bytearray()
+    for cis, ss, se, ah, al in script:
+        bw_ = _BitWriter()
+        if ss == 0:  # DC scan, interleaved over cis
+            if ah == 0:
+                preds = [0] * nc
+                for mcu in range(mcux * mcuy):
+                    my, mx = divmod(mcu, mcux)
+                    for ci in cis:
+                        quant, cbw = comp_blocks[ci]
+                        sh, sv = samps[ci]
+                        tab = dc_y if ci == 0 else dc_c
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blk = quant[(my * sv + by) * cbw
+                                            + (mx * sh + bx)]
+                                v = int(blk[0]) >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                s = _category(diff)
+                                code, ln = tab.codes[s]
+                                bw_.write(code, ln)
+                                if s:
+                                    mv = diff if diff >= 0 \
+                                        else diff + (1 << s) - 1
+                                    bw_.write(mv, s)
+            else:  # DC refinement: one raw bit per block, MCU order
+                for mcu in range(mcux * mcuy):
+                    my, mx = divmod(mcu, mcux)
+                    for ci in cis:
+                        quant, cbw = comp_blocks[ci]
+                        sh, sv = samps[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blk = quant[(my * sv + by) * cbw
+                                            + (mx * sh + bx)]
+                                bw_.write((int(blk[0]) >> al) & 1, 1)
+        else:  # AC scan, single component, true block dims
+            ci = cis[0]
+            quant, cbw = comp_blocks[ci]
+            nbx, nby, _ = geo[ci]
+            ac = _ProgAcWriter(bw_, ac_y if ci == 0 else ac_c)
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = quant[by * cbw + bx]
+                    if ah == 0:
+                        ac.block_first(blk, ss, se, al)
+                    else:
+                        ac.block_refine(blk, ss, se, al)
+            ac.flush_eob()
+        bw_.flush()
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        body += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        body += bw_.out
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += _dqt_segment(0, qy) + (b"" if gray else _dqt_segment(1, qc))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += body
+    out += b"\xFF\xD9"
+    return bytes(out)

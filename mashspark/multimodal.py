@@ -103,12 +103,13 @@ def decode_media_routed(payload: bytes) -> tuple[np.ndarray, str, bool]:
     * ``RIFF..WAVE`` -> real WAV decode -> energy/autocorrelation plane
     * ``BM`` -> real BMP decode -> luma plane (mean over RGB / 255)
     * ``P5``/``P6`` -> real PNM decode -> luma plane
-    * ``FF D8`` -> real baseline-JPEG decode (``jpeg.py``) -> luma plane
+    * ``FF D8`` -> real JPEG decode (``jpeg.py``: baseline AND
+      progressive) -> luma plane
     * ``\\x89PNG`` -> real PNG decode (``png.py``: all color types,
       Adam7) -> luma plane
     * ``GIF8?a`` -> real GIF decode (``gif.py``: LZW, first frame) ->
       luma plane
-    * anything else (progressive JPEG, WebP/AVIF, ...) ->
+    * anything else (WebP/AVIF, arithmetic-coded JPEG, ...) ->
       deterministic stub
 
     ``decoded_real`` is False when no real codec matched OR the matched

@@ -182,3 +182,116 @@ def test_zero_sampling_factor_raises_valueerror_not_zerodivision():
     # and the media dispatcher degrades to the stub
     out = decode_media(bytes(payload))
     assert (out == _decode_image_stub(bytes(payload))).all()
+
+
+# ---------------------------------------------------------------- progressive
+
+def test_progressive_decode_identical_to_baseline():
+    """Progressive coding reorganizes the same quantized coefficients,
+    so decode(progressive bytes) must be BIT-IDENTICAL to
+    decode(baseline bytes) at the same quality — across spectral-
+    selection-only and full successive-approximation scan scripts,
+    4:4:4 and 4:2:0, color and grayscale."""
+    from mashspark.jpeg import encode_jpeg_progressive
+
+    img = _test_image(25, 35)
+    for subsample in (False, True):
+        for successive in (False, True):
+            b = decode_jpeg(encode_jpeg(img, quality=80,
+                                        subsample=subsample))
+            p = decode_jpeg(encode_jpeg_progressive(
+                img, quality=80, subsample=subsample,
+                successive=successive))
+            assert (b == p).all(), (subsample, successive)
+    g = img.mean(axis=2).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg(g, quality=85))
+            == decode_jpeg(encode_jpeg_progressive(g, quality=85))).all()
+
+
+def test_progressive_eobrun_greater_than_one():
+    """EOBn (n>1) run decoding needs symbols the Annex K tables lack, so
+    our encoder flushes runs at 1 — craft a scan with a custom AC table
+    holding the 0x10/0x20 EOBn symbols and a 5-block EOB run: blocks
+    after the first must stay all-zero while correction-free decode
+    continues correctly."""
+    import struct as _s
+
+    from mashspark.jpeg import (_BitWriter, _HuffTable, _dqt_segment,
+                                decode_jpeg)
+
+    # custom AC table: EOB1(0x00), EOBn r=2 (0x20), (0,1), ZRL — plus a
+    # DC table for the mandatory DC scan
+    ac_bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x20, 0x01, 0xF0]
+    dc_bits = [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = [0x00, 0x01]
+    ac = _HuffTable(ac_bits, ac_vals)
+    dc = _HuffTable(dc_bits, dc_vals)
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + _s.pack(">H", len(body) + 2) + body
+
+    # 16x40 grayscale -> 2x5 = 10 blocks; q=99 so the single size-1 AC
+    # coefficient dequantizes to 99 (visible after IDCT rounding)
+    h, w = 16, 40
+    q = np.full(64, 99, dtype=np.int32)
+    out = bytearray(b"\xFF\xD8")
+    out += _dqt_segment(0, q)
+    sof = _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC2" + _s.pack(">H", len(sof) + 2) + sof
+    out += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
+    # DC scan: all-zero DC (symbol 0x00 per block)
+    bw = _BitWriter()
+    for _ in range(10):
+        c, ln = dc.codes[0x00]
+        bw.write(c, ln)
+    bw.flush()
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])
+    out += b"\xFF\xDA" + _s.pack(">H", len(sos) + 2) + sos + bw.out
+    # AC scan 1-63: block0 gets coeff k=1 value 1, then EOBn run of 4
+    # (0x20 + 2 extra bits '00' -> run 4), then EOB1 for the last 5
+    bw = _BitWriter()
+    c, ln = ac.codes[0x01]
+    bw.write(c, ln)
+    bw.write(1, 1)  # magnitude bit for size-1 positive
+    c, ln = ac.codes[0x00]
+    bw.write(c, ln)  # block 0 band ends
+    c, ln = ac.codes[0x20]
+    bw.write(c, ln)
+    bw.write(0, 2)  # EOBRUN = 4: blocks 1-4 all zero
+    for _ in range(5):  # blocks 5-9: EOB1 each
+        c, ln = ac.codes[0x00]
+        bw.write(c, ln)
+    bw.flush()
+    sos = bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += b"\xFF\xDA" + _s.pack(">H", len(sos) + 2) + sos + bw.out
+    out += b"\xFF\xD9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (h, w)
+    # coeff (0,1)=1 with flat quant: first block non-flat, others flat 128
+    blk0 = img[:8, :8].astype(int)
+    assert blk0.std() > 0
+    for bi in range(1, 5):
+        blk = img[:8, 8 * bi:8 * (bi + 1)].astype(int)
+        assert blk.min() == blk.max() == 128, f"block {bi} not flat"
+
+
+def test_real_progressive_files_decode_when_present():
+    """Real libjpeg progressive output (custom Huffman tables, EOBn>1,
+    successive approximation): the Spark mllib sample grayscale.jpg is
+    a progressive re-encode of the baseline chr30.4.184.jpg — decoded
+    content must correlate with the baseline decode's luma."""
+    import os
+
+    d = "/opt/spark/data/mllib/images/origin/multi-channel"
+    prog, base = f"{d}/grayscale.jpg", f"{d}/chr30.4.184.jpg"
+    if not (os.path.exists(prog) and os.path.exists(base)):
+        return
+    g = decode_jpeg(open(prog, "rb").read()).astype(float)
+    c = decode_jpeg(open(base, "rb").read()).astype(float)
+    assert g.shape == (215, 300) and c.shape == (215, 300, 3)
+    luma = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    corr = np.corrcoef(g.ravel(), luma.ravel())[0, 1]
+    assert corr > 0.99, f"progressive decode decorrelated: {corr}"
