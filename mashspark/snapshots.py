@@ -269,10 +269,42 @@ def commit_merge(spark: SparkSession, updates: DataFrame, table_path: str,
                    expected_parent=base)
 
 
+def version_as_of(table_path: str, ts) -> int:
+    """Iceberg ``FOR TIMESTAMP AS OF`` analog: the highest version in
+    CURRENT's ancestry whose commit time is <= ``ts`` (ISO
+    'YYYY-mm-ddTHH:MM:SS' string, or epoch seconds). Raises
+    ``ValueError`` when the table has no snapshot that old."""
+    if isinstance(ts, (int, float)):
+        ts = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(ts))
+    cur = current_version(table_path)
+    if cur is None:
+        raise FileNotFoundError(f"{table_path} has no committed snapshot")
+    best = None
+    v = cur
+    while v is not None:
+        try:
+            s = snapshot(table_path, v)
+        except FileNotFoundError:
+            break  # expired tail of the ancestry
+        committed = s["summary"].get("committed_at", "")
+        if committed <= ts and (best is None or v > best):
+            best = v
+        v = s.get("parent")
+    if best is None:
+        raise ValueError(
+            f"{table_path} has no retained snapshot at or before {ts}")
+    return best
+
+
 def read_table(spark: SparkSession, table_path: str,
-               version: int | None = None) -> DataFrame:
-    """Read the table at CURRENT (default) or any retained ``version``
-    (time travel)."""
+               version: int | None = None,
+               as_of: "str | float | None" = None) -> DataFrame:
+    """Read the table at CURRENT (default), at any retained ``version``,
+    or at the snapshot current ``as_of`` a timestamp (time travel)."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        version = version_as_of(table_path, as_of)
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table_path} has no committed snapshot")

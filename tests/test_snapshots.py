@@ -228,3 +228,25 @@ def test_commit_merge_upserts_by_key(spark, tmp_path):
            for r in snap.read_table(spark, t, version=1).collect()}
     assert old[3] == "old-3" and 100 not in old
     assert snap.snapshots(t)[-1]["operation"] == "merge"
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """Iceberg FOR TIMESTAMP AS OF analog: as_of resolves to the highest
+    snapshot committed at or before the timestamp, in CURRENT's
+    ancestry; too-early timestamps raise."""
+    import time as _t
+
+    t = str(tmp_path / "tbl")
+    snap.commit_append(spark, _df(spark, 0, 10), t)
+    ts_between = _t.time() + 0.5
+    _t.sleep(1.2)  # committed_at has 1 s resolution
+    snap.commit_append(spark, _df(spark, 10, 25), t)
+    after = _t.time() + 1
+    assert snap.version_as_of(t, ts_between) == 1
+    assert snap.version_as_of(t, after) == 2
+    assert snap.read_table(spark, t, as_of=ts_between).count() == 10
+    assert snap.read_table(spark, t, as_of=after).count() == 25
+    with pytest.raises(ValueError):
+        snap.version_as_of(t, 0.0)  # epoch 1970: nothing that old
+    with pytest.raises(ValueError):
+        snap.read_table(spark, t, version=1, as_of=after)
