@@ -1,9 +1,11 @@
-"""Baseline-JPEG codec (jpeg.py): DCT orthonormality, encode/decode
-round trips across quality / subsampling / restart intervals / odd
-dimensions / grayscale, structural strictness (progressive + truncated
-streams refused), quality monotonicity, and the multimodal dispatch
-(FF D8 payloads now take the REAL decode path, with stub fallback for
-non-baseline streams)."""
+"""JPEG codec (jpeg.py): DCT orthonormality, encode/decode round trips
+across quality / subsampling / restart intervals / odd dimensions /
+grayscale, structural strictness (truncated/garbage streams refused),
+quality monotonicity, the multimodal dispatch (FF D8 payloads take the
+REAL decode path, stub fallback for corrupt streams), and progressive
+(SOF2) decode: bit-identity with baseline across scan scripts and
+geometries, EOBn>1 runs via a custom-table stream, and real libjpeg
+progressive files from system packages."""
 
 import numpy as np
 import pytest
@@ -295,3 +297,19 @@ def test_real_progressive_files_decode_when_present():
     luma = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
     corr = np.corrcoef(g.ravel(), luma.ravel())[0, 1]
     assert corr > 0.99, f"progressive decode decorrelated: {corr}"
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (8, 8), (7, 9), (9, 17),
+                                 (16, 16), (17, 33), (24, 15)])
+def test_progressive_identity_odd_geometries(h, w):
+    """Edge geometry: non-interleaved AC-scan block dims (true ceil
+    dims) vs the padded MCU grid diverge at odd sizes with 4:2:0 —
+    progressive must stay bit-identical to baseline at every shape."""
+    from mashspark.jpeg import encode_jpeg_progressive
+
+    img = _test_image(h, w)
+    for subsample in (False, True):
+        b = decode_jpeg(encode_jpeg(img, quality=75, subsample=subsample))
+        p = decode_jpeg(encode_jpeg_progressive(img, quality=75,
+                                                subsample=subsample))
+        assert (b == p).all(), (h, w, subsample)

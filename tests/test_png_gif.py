@@ -307,3 +307,30 @@ def test_real_world_files_decode_when_present():
         w, h = struct.unpack(">II", b[16:24])
         assert decode_png(b).shape == (h, w, 3)
         checked += 1
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (1, 9), (9, 1), (3, 5),
+                                 (8, 8), (13, 31)])
+def test_png_gif_roundtrip_odd_geometries(h, w):
+    rgb = _img(h, w, 3, seed=h * 100 + w)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    g = _img(h, w, 1, seed=h * 100 + w + 1)
+    out = decode_gif(encode_gif(g))
+    assert (out[:, :, 0] == g).all()
+
+
+def test_png_adam7_odd_geometries():
+    """Interlaced decode at sizes where several Adam7 passes are empty
+    (w or h < pass start): pass-skip bookkeeping must not drift."""
+    for (h, w) in [(1, 1), (2, 3), (4, 4), (5, 9), (3, 16)]:
+        img = _img(h, w, 3, seed=h * 7 + w)
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        body = bytearray()
+        for (x0, y0, dx, dy) in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            body += _forward_filter(sub.reshape(sub.shape[0], -1), 3, [0])
+        payload = _build_png(w, h, 8, 2, bytes(body), interlace=1)
+        assert (decode_png(payload) == img).all(), (h, w)
