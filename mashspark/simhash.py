@@ -23,6 +23,9 @@ from pyspark.sql.types import LongType
 
 from .hashing import hash_shingles_concat
 
+# 256 x 8 lookup: _BITS8[v, b] = bit b of byte value v (voting matmul below)
+_BITS8 = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1).astype(np.int64)
+
 
 def simhash_batch(texts, k: int, seed: int) -> np.ndarray:
     """int64 simhash per text (sign-bit semantics irrelevant — the value is
@@ -57,15 +60,23 @@ def simhash_batch(texts, k: int, seed: int) -> np.ndarray:
 
     uniq_all = np.concatenate(segs)
     seg_lens = np.asarray(seg_lens, dtype=np.int64)
-    starts = np.zeros(len(seg_lens), dtype=np.int64)
-    np.cumsum(seg_lens[:-1], out=starts[1:])
-    # per-bit reduceat over a small reused temporary, NOT one (N, 64)
-    # unpackbits matrix: the big fresh allocation pays seconds of
-    # first-touch page faults on this host, the 64 small passes don't
-    ones = np.empty((len(seg_lens), 64), dtype=np.int64)
-    one = np.uint64(1)
-    for b in range(64):
-        ones[:, b] = np.add.reduceat((uniq_all >> np.uint64(b)) & one, starts)
+    # per-doc per-bit one-counts via segmented BYTE histograms (round-6):
+    # for each of the 8 byte positions, one bincount of (doc*256 +
+    # byte_val) over the whole batch, then a (docs x 256) @ (256 x 8)
+    # bit-table matmul recovers the per-bit counts — 8 passes over the
+    # data instead of the previous 64 shift/mask/reduceat triples
+    # (measured 1.6x on the whole simhash batch kernel; the temporaries
+    # are (docs*256) histograms, small and allocator-cached, so the
+    # first-touch page-fault concern that ruled out an (N, 64)
+    # unpackbits matrix does not apply)
+    n_seg = len(seg_lens)
+    seg_doc = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
+    bytes_mat = uniq_all.view(np.uint8).reshape(-1, 8)
+    ones = np.empty((n_seg, 64), dtype=np.int64)
+    base = seg_doc << 8
+    for b in range(8):
+        hist = np.bincount(base + bytes_mat[:, b], minlength=n_seg * 256)
+        ones[:, 8 * b : 8 * b + 8] = hist.reshape(n_seg, 256) @ _BITS8
     votes = ones * 2 - seg_lens[:, None]
     sig_bits = (votes > 0).astype(np.uint8)
     sigs = np.packbits(sig_bits, axis=1, bitorder="little").view("<u8").ravel()

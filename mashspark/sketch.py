@@ -190,7 +190,7 @@ def make_sketch_udf(params: SketchParams, lsh: LSHParams):
             n_kmers[i] = nk
             cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
             raw_sketches.append(sk)
-            sketches.append(encode_signed(sk).astype("<i8").tobytes())
+            sketches.append(encode_signed(sk).tobytes())  # int64 IS <i8 here (LE asserted)
         bkeys = batch_band_keys(raw_sketches, bands, prefix)
         fp1, fp2 = batch_fp128(raw_sketches)
         return pd.DataFrame(
@@ -255,7 +255,7 @@ def make_minhash_count_udf(params: SketchParams):
             off += blen
             n_kmers[i] = nk
             cards[i] = kmv_set_size(sk) if len(sk) >= s else len(sk)
-            sketches.append(encode_signed(sk).astype("<i8").tobytes())
+            sketches.append(encode_signed(sk).tobytes())  # int64 IS <i8 here (LE asserted)
             counts_col.append(cnt)
         return pd.DataFrame(
             {
@@ -373,7 +373,7 @@ def make_sketch_arrow_gen(params: SketchParams, lsh: LSHParams,
                 bk_offs[i + 1] = bk_offs[i] + len(bkeys[i])
 
             sk_values = (
-                np.concatenate(sk_parts).astype("<i8").view(np.uint8)
+                np.concatenate(sk_parts).view(np.uint8)  # int64 IS <i8 (LE)
                 if sk_parts else np.empty(0, dtype=np.uint8)
             )
             bk_values = (

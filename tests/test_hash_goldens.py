@@ -281,3 +281,32 @@ def test_contain_batch_matches_scalar_core():
             c, _ = compare.capped_merge_sorted_batch([rs], [qs[:u]], 1 << 30)
             got = (int(c[0]), u)
         assert got == exp
+
+
+def test_hash_shingles_concat_u64_kernel_matches_window_matrix():
+    """Round-6 kernel rewrite guard: the unaligned-u64-load shingle hasher
+    must stay bit-identical to the reference per-window murmur across k
+    values covering every block/tail combination (tail 0..15, 1 and 2
+    blocks), tiny buffers, and chunk boundaries."""
+    rng = np.random.default_rng(11)
+    for k in [1, 2, 5, 7, 8, 9, 15, 16, 17, 21, 24, 31, 32, 33, 40, 48, 53]:
+        buf = rng.integers(0, 256, size=3000, dtype=np.uint8)
+        got = hashing.hash_shingles_concat(buf, k, SEED).copy()
+        windows = np.lib.stride_tricks.sliding_window_view(buf, k)
+        ref = hashing.murmur3_x64_128_h1(np.ascontiguousarray(windows), SEED)
+        assert np.array_equal(got, ref), f"k={k}"
+    # tiny buffers around n <= 0 and the pad boundary
+    for n in range(0, 40):
+        buf = rng.integers(0, 256, size=n, dtype=np.uint8)
+        got = hashing.hash_shingles_concat(buf, 21, SEED).copy()
+        assert len(got) == max(0, n - 20)
+        if len(got):
+            windows = np.lib.stride_tricks.sliding_window_view(buf, 21)
+            ref = hashing.murmur3_x64_128_h1(
+                np.ascontiguousarray(windows), SEED)
+            assert np.array_equal(got, ref)
+    # chunk-boundary crossing (chunk_windows smaller than n)
+    buf = rng.integers(0, 256, size=5000, dtype=np.uint8)
+    a = hashing.hash_shingles_concat(buf, 21, SEED, chunk_windows=128).copy()
+    b = hashing.hash_shingles_concat(buf, 21, SEED).copy()
+    assert np.array_equal(a, b)
