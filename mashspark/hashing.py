@@ -201,20 +201,20 @@ _HSC_PAD = np.empty(0, dtype=np.uint8)
 _HSC_U64 = np.empty(0, dtype=np.uint64)
 
 
-def _u64_loads(buf8: np.ndarray) -> np.ndarray:
-    """U[j] = little-endian uint64 loaded at byte offset j of ``buf8``
-    (len(buf8)-7 entries). Built with 8 strided aligned-view copies —
-    one write per output element — instead of per-byte upcast/shift/or
-    lanes. This is the gather that lets the murmur rounds below consume
-    sliding windows WITHOUT materializing an (n, k) window matrix."""
-    global _HSC_U64
-    n = len(buf8) - 7
-    if len(_HSC_U64) < n:
-        _HSC_U64 = np.empty(int(n * 1.25) + 8, dtype=np.uint64)
-    out = _HSC_U64[:n]
+def _u64_loads_into(dst: np.ndarray, src: np.ndarray, n: int) -> np.ndarray:
+    """dst[j] = little-endian uint64 loaded at byte offset j of ``src``
+    for j in [0, n) (``src`` must hold at least n+7 bytes). Built with 8
+    strided aligned-view copies — one write per output element — instead
+    of per-byte upcast/shift/or lanes. This is the gather that lets the
+    murmur rounds below consume sliding windows WITHOUT materializing an
+    (n, k) window matrix. Called per CHUNK so dst stays L2-resident (a
+    whole-buffer load table made each of the 8 strided passes re-stream
+    the full multi-MB table from DRAM — measured ~15% slower solo and
+    worse under multi-worker bandwidth contention)."""
+    out = dst[:n]
     for r in range(8):
         lane = out[r::8]
-        lane[:] = buf8[r : r + len(lane) * 8].view("<u8")
+        lane[:] = src[r : r + len(lane) * 8].view("<u8")
     return out
 
 
@@ -230,58 +230,62 @@ def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
     Kernel shape (round-6 rewrite, bit-identical to the window-matrix
     form — asserted against it in tests): window i's murmur blocks are
     plain unaligned u64 loads at byte offsets i, i+8, ... of the flat
-    buffer, so ONE shared load table ``U[j] = le64(buf[j:j+8])`` (8
-    strided copies over the buffer, built once) replaces the per-chunk
+    buffer, so a per-chunk load table ``U[j] = le64(buf[lo+j : lo+j+8])``
+    (8 strided copies, see ``_u64_loads_into``) replaces the per-chunk
     (n, k) byte-gather + per-byte tail upcasts entirely; the murmur
     rounds become pure vector ops over U slices (views, no copies), and
     the tail bytes are one masked load instead of up to 15 upcast/shift
-    lanes. Measured 2.3-2.6x on this host at k=21 (14 -> 33-36 Mwin/s
-    per core) with ~2x less memory traffic per window.
+    lanes. Measured 3x on this host at k=21 (14 -> 42 Mwin/s per core
+    solo; 21 -> 32 Mwin/s/proc under 6-way bandwidth contention) with
+    ~2x less memory traffic per window.
 
-    Processes in chunks of ``chunk_windows`` windows so every murmur
-    temporary stays cache-resident while only U streams from DRAM.
+    Processes in chunks of ``chunk_windows`` windows so the load table
+    and every murmur temporary stay cache-resident while only the input
+    text streams from DRAM.
     """
-    global _HSC_SCRATCH, _HSC_PAD
+    global _HSC_SCRATCH, _HSC_PAD, _HSC_U64
     if buf.ndim != 1 or buf.dtype != np.uint8:
         raise ValueError("buf must be a 1-D uint8 array")
     n = len(buf) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
-    # pad 8 zero bytes: tail loads of the LAST windows read past the text
-    # end (the excess bytes are masked off below), and U itself needs
-    # len+1 entries
-    if len(_HSC_PAD) < len(buf) + 8:
-        _HSC_PAD = np.empty(int(len(buf) * 1.25) + 16, dtype=np.uint8)
-    padded = _HSC_PAD[: len(buf) + 8]
-    padded[: len(buf)] = buf
-    padded[len(buf):] = 0
-    U = _u64_loads(padded)
-
     nblocks = k // 16
     tail_len = k & 15
+    toff = 16 * nblocks
+    # pad 16 zero bytes: tail/block loads of the LAST windows read up to
+    # 15 bytes past the text end (the excess is masked off below)
+    if len(_HSC_PAD) < len(buf) + 16:
+        _HSC_PAD = np.empty(int(len(buf) * 1.25) + 24, dtype=np.uint8)
+    padded = _HSC_PAD[: len(buf) + 16]
+    padded[: len(buf)] = buf
+    padded[len(buf):] = 0
+    span = chunk_windows + toff + 8
+    if len(_HSC_U64) < span:
+        _HSC_U64 = np.empty(span + 64, dtype=np.uint64)
     if len(_HSC_SCRATCH) < n:
         _HSC_SCRATCH = np.empty(int(n * 1.25), dtype=np.uint64)
     out = _HSC_SCRATCH[:n]
     useed = np.uint64(seed)
     ulen = np.uint64(k)
     if tail_len:
-        toff = 16 * nblocks
         tmask1 = np.uint64((1 << (8 * min(tail_len, 8))) - 1)
         tmask2 = np.uint64((1 << (8 * (tail_len - 8))) - 1) if tail_len > 8 else None
     for lo in range(0, n, chunk_windows):
         hi = min(lo + chunk_windows, n)
         m = hi - lo
+        need = m + toff + 8
+        U = _u64_loads_into(_HSC_U64, padded[lo : lo + need + 7], need)
         h1 = np.full(m, useed, dtype=np.uint64)
         h2 = h1.copy()
         for b in range(nblocks):
-            k1 = U[lo + 16 * b : hi + 16 * b] * _C1
+            k1 = U[16 * b : 16 * b + m] * _C1
             k1 = _rotl64(k1, _U31)
             k1 *= _C2
             h1 ^= k1
             h1 = _rotl64(h1, _U27)
             h1 += h2
             h1 = h1 * _U5 + _ADD1
-            k2 = U[lo + 16 * b + 8 : hi + 16 * b + 8] * _C2
+            k2 = U[16 * b + 8 : 16 * b + 8 + m] * _C2
             k2 = _rotl64(k2, _U33)
             k2 *= _C1
             h2 ^= k2
@@ -290,14 +294,14 @@ def hash_shingles_concat(buf: np.ndarray, k: int, seed: int,
             h2 = h2 * _U5 + _ADD2
         if tail_len:
             if tail_len > 8:
-                k2 = U[lo + toff + 8 : hi + toff + 8] & tmask2
+                k2 = U[toff + 8 : toff + 8 + m] & tmask2
                 k2 *= _C2
                 k2 = _rotl64(k2, _U33)
                 k2 *= _C1
                 h2 ^= k2
-                k1 = U[lo + toff : hi + toff].copy()
+                k1 = U[toff : toff + m].copy()
             else:
-                k1 = U[lo + toff : hi + toff] & tmask1
+                k1 = U[toff : toff + m] & tmask1
             k1 *= _C1
             k1 = _rotl64(k1, _U31)
             k1 *= _C2

@@ -592,7 +592,8 @@ def _decode_scan_prog(data: bytes, comps: list[_Component], htables: dict,
             if dc_scan and len(comps) > 1:
                 my, mx = divmod(unit, mcux)
                 for c in comps:
-                    tbl = htables.get((0, c.td)) if ah == 0 else None
+                    tbl = (htables[(0, c.td)]  # missing DC DHT -> KeyError -> stub route
+                           if ah == 0 else None)
                     for by in range(c.v):
                         for bx in range(c.h):
                             blk = c.blocks[(my * c.v + by) * c.bw
@@ -604,7 +605,8 @@ def _decode_scan_prog(data: bytes, comps: list[_Component], htables: dict,
                 by, bx = divmod(unit, c.nbx)
                 blk = c.blocks[by * c.bw + bx]
                 if dc_scan:
-                    tbl = htables.get((0, c.td)) if ah == 0 else None
+                    tbl = (htables[(0, c.td)]  # missing DC DHT -> KeyError -> stub route
+                           if ah == 0 else None)
                     pred[id(c)] = _dc_prog(br, tbl, blk, pred[id(c)],
                                            ah, al)
                 elif ah == 0:

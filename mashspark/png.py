@@ -5,9 +5,10 @@ dependency (zlib) in its standard library.
 
 Decoder coverage: all five color types (greyscale, truecolor, palette,
 grey+alpha, RGBA), bit depths 1/2/4/8/16, all five scanline filters
-(None/Sub/Up/Average/Paeth), Adam7 interlacing, tRNS transparency (alpha
-is decoded then dropped by the luma consumers). Ancillary chunks are
-skipped per spec. CRC mismatches, truncated streams, and malformed
+(None/Sub/Up/Average/Paeth), Adam7 interlacing. Ancillary chunks —
+including tRNS transparency — are skipped per spec (alpha is irrelevant
+to the luma consumers; in-stream alpha CHANNELS of color types 4/6 are
+decoded and dropped). CRC mismatches, truncated streams, and malformed
 headers raise ``ValueError`` — callers (``multimodal.decode_media``)
 treat that as a corrupt crawl row and fall back to the stub, never a
 task failure.

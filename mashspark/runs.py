@@ -118,6 +118,13 @@ def dedup_snapshot_run(spark: SparkSession, docs: DataFrame,
                 "n_buckets": n_buckets,
                 "partitions": partitions,
             })
+        # the bucket-parquet work dir only serves bucket-level resume
+        # BEFORE the stage snapshot exists; once the sketch table is
+        # committed, keeping it pins a full copy of the sketch output
+        # per (params, tag) fingerprint indefinitely (ADVICE r5)
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
     sketches = snap.read_table(spark, sk_table, version=sk_version)
 
     cl_version = None

@@ -408,32 +408,39 @@ def sketch_documents(df: DataFrame, params: SketchParams, lsh: LSHParams,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, sketch, n_kmers, card_est, band_key, fp1, fp2).
 
-    Map-only, one vectorized UDF pass. Docs shorter than k yield an EMPTY
-    sketch inside the UDF (reference skips such records,
-    ``Sketch.cpp:337-341``); they stay in the output as unsketchable rows
-    so downstream cluster assignment keeps them as singletons.
+    Map-only, one vectorized Arrow pass (``make_sketch_arrow_gen``). Docs
+    shorter than k yield an EMPTY sketch inside the UDF (reference skips
+    such records, ``Sketch.cpp:337-341``); they stay in the output as
+    unsketchable rows so downstream cluster assignment keeps them as
+    singletons.
 
-    (A mapInArrow variant reading the Arrow string buffer zero-copy was
-    measured and REJECTED on this host: the pandas path at 1024-row
-    batches is faster both absolute and in 1->4-core scaling, because the
-    per-batch Arrow buffer handling pays this VM's pathological
-    first-touch page-fault costs more often than the pandas conversion
-    does.)
+    Round-6 reversal of the round-4 mapInArrow rejection: with the u64
+    murmur kernel and lean bottom_k the numpy core got ~2x faster, so the
+    pandas wrapping (per-doc str materialization in, per-doc bytes out)
+    became the larger share — re-measured at 12 cores on the 70k-doc
+    bench corpus: arrow 1.85 s vs pandas 2.35 s noop-isolated, rows
+    bit-identical (pinned by test_sketch_arrow_matches_pandas). The
+    pandas UDF (``make_sketch_udf``) remains for callers that need it.
     """
-    udf = make_sketch_udf(params, lsh)
+    from pyspark.sql.types import StructField, StructType
+
+    gen = make_sketch_arrow_gen(params, lsh)
+    out_schema = StructType(
+        [StructField("doc_id", LongType(), False)] + list(SKETCH_FIELDS.fields)
+    )
     out = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("_sk", udf(F.col("text")))
+        .mapInArrow(gen, schema=out_schema)
         .select(
             "doc_id",
             # params fingerprint rides in the column metadata so downstream
             # comparisons can refuse incompatible tables (F6, Sketch.cpp:133-160)
-            F.col("_sk.sketch").alias("sketch", metadata=_params_meta(params)),
-            F.col("_sk.n_kmers").alias("n_kmers"),
-            F.col("_sk.card_est").alias("card_est"),
-            F.col("_sk.band_key").alias("band_key"),
-            F.col("_sk.fp1").alias("fp1"),
-            F.col("_sk.fp2").alias("fp2"),
+            F.col("sketch").alias("sketch", metadata=_params_meta(params)),
+            "n_kmers",
+            "card_est",
+            "band_key",
+            "fp1",
+            "fp2",
         )
     )
     return out

@@ -313,3 +313,34 @@ def test_progressive_identity_odd_geometries(h, w):
         p = decode_jpeg(encode_jpeg_progressive(img, quality=75,
                                                 subsample=subsample))
         assert (b == p).all(), (h, w, subsample)
+
+
+def test_progressive_missing_dc_dht_degrades_not_crashes():
+    """ADVICE r5: a progressive stream whose DC DHT is stripped must fail
+    with an exception class the stub-fallback catches (KeyError et al.),
+    never AttributeError from dereferencing a None table."""
+    import numpy as np
+
+    from mashspark.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive(img))
+    # strip every DC-class DHT segment (table class 0)
+    out = bytearray()
+    i = 0
+    while i < len(payload):
+        if payload[i] == 0xFF and i + 3 < len(payload) and payload[i + 1] == 0xC4:
+            seglen = (payload[i + 2] << 8) | payload[i + 3]
+            tc = payload[i + 4] >> 4
+            if tc == 0:
+                i += 2 + seglen
+                continue
+        out.append(payload[i])
+        i += 1
+    try:
+        decode_jpeg(bytes(out))
+    except (ValueError, IndexError, KeyError) as e:
+        assert not isinstance(e, AttributeError)
+    else:
+        raise AssertionError("expected decode failure on stripped DC DHT")

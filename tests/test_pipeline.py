@@ -124,3 +124,38 @@ def test_lsh_metrics_shape(result):
     row = res.lsh_metrics.collect()[0]
     assert row.n_buckets > 0
     assert row.n_dropped_buckets == 0
+
+
+def test_sketch_arrow_matches_pandas(spark):
+    """Round-6: sketch_documents switched to the mapInArrow generator —
+    pin bit-identity against the pandas UDF path across null text, short
+    docs (< k), empty docs, and non-default column names."""
+    from pyspark.sql import functions as F
+
+    from mashspark.params import LSHParams, SketchParams
+    from mashspark.sketch import make_sketch_udf, sketch_documents
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 30),
+            (2, None), (3, ""), (4, "tiny"), (5, "x" * 21),
+            (6, "the quick brown fox jumps over the lazy dog " * 30),
+            (7, "unicode éèê content " * 40)]
+    docs = spark.createDataFrame(rows, "my_id long, body string")
+    sp, lp = SketchParams(s=64), LSHParams(prefix=32)
+
+    arrow = sketch_documents(docs, sp, lp, id_col="my_id", text_col="body")
+    udf = make_sketch_udf(sp, lp)
+    pandas = (
+        docs.select(F.col("my_id").alias("doc_id"), F.col("body").alias("text"))
+        .withColumn("_sk", udf(F.col("text")))
+        .select("doc_id", "_sk.sketch", "_sk.n_kmers", "_sk.card_est",
+                "_sk.band_key", "_sk.fp1", "_sk.fp2")
+    )
+    a = {r["doc_id"]: r for r in arrow.collect()}
+    p = {r["doc_id"]: r for r in pandas.collect()}
+    assert set(a) == set(p)
+    for d in a:
+        ra, rp = a[d], p[d]
+        assert bytes(ra["sketch"]) == bytes(rp["sketch"]), d
+        assert ra["n_kmers"] == rp["n_kmers"] and ra["card_est"] == rp["card_est"]
+        assert list(ra["band_key"]) == list(rp["band_key"]), d
+        assert ra["fp1"] == rp["fp1"] and ra["fp2"] == rp["fp2"]
