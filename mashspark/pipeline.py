@@ -220,7 +220,13 @@ def _cluster_sketches(spark: SparkSession, sketches: DataFrame,
         max_iterations=config.cc_max_iterations,
         driver_threshold=config.cc_driver_threshold,
     )
-    all_ids = sketches.select("doc_id")
+    # all_ids from the SKINNY persisted exact_groups map, not the fat
+    # sketch checkpoint: exact_collapse emits exactly one row per input
+    # doc (nonempty members + empty-sketch self-reps), so the id sets are
+    # identical — and clusters is consumed by several bench/user actions,
+    # each of which would otherwise re-deserialize the 8 KB-row checkpoint
+    # blocks just to project doc_id (round-6: two extra fat scans per run)
+    all_ids = exact_groups.select("doc_id")
     clusters = (
         all_ids.join(comp, "doc_id", "left")
         .select(

@@ -250,7 +250,17 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
             .unionByName(cands.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        sk = sk.join(surv_ids, "doc_id", "left_semi")
+        # SHUFFLE_HASH hint, build = the skinny survivor-id set: the
+        # checkpointed relations here are ExistingRDD scans with no size
+        # stats, so the planner (even with preferSortMergeJoin=false)
+        # falls back to SORT-merge for this semi-join and SORTS the fat
+        # 8 KB-row sketch relation — twice, once per attach side
+        # (round-6 executed-plan audit: 2x "SortMergeJoin LeftSemi" +
+        # "Sort [doc_id]" over the sketch exchange). The hint forces a
+        # shuffled-hash semi build on the id set; the fat side's
+        # doc_id exchange remains (and is reused by the attach join's
+        # partitioning requirement), the sorts disappear.
+        sk = sk.join(surv_ids.hint("shuffle_hash"), "doc_id", "left_semi")
 
     df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
     df = _attach(df, sk, "id_b", "b", F.col("sketch"))
