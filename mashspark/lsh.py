@@ -141,7 +141,16 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     # two SMALL key sets (hot keys, pruned singleton keys are implicit:
     # singleton buckets simply produce no self-join output), so the fat
     # band relation is never joined against an O(buckets) table.
-    sizes = _mat(
+    # NOT checkpointed (round-6): the groupBy hangs off the already-
+    # materialized bands checkpoint, so there is no UDF subtree to
+    # protect and no checkpoint-lock race — its consumers (hot_keys'
+    # anti/semi branches) sit in ONE downstream plan where ReuseExchange
+    # shares the aggregation, while the old eager checkpoint serialized
+    # an extra full bands-scan job per run. Interleaved fresh-JVM A/B on
+    # the pinned 8-core scale job: 14.9-16.2 s -> 11.1-12.8 s, identical
+    # candidate counts. (metrics, executed separately by callers that
+    # collect it, re-runs the cheap groupBy from the bands checkpoint.)
+    sizes = (
         bands.groupBy("band_key")
         .agg(F.count("*").alias("bucket_n"))
     )
