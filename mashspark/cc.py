@@ -48,15 +48,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the (already smallish, post-verify)
-    edge list and run union-find on the driver. Chosen only below
-    ``driver_threshold`` edges; the distributed star algorithm is the
-    scale path. Verified dup edges are orders of magnitude fewer than
-    docs, so this path also matters in production for mid-size runs."""
+def _driver_union_find(spark, rows) -> DataFrame:
+    """Small-graph fast path: union-find over an already-collected pandas
+    edge frame on the driver. Chosen only below ``driver_threshold``
+    edges; the distributed star algorithm is the scale path. Verified dup
+    edges are orders of magnitude fewer than docs, so this path also
+    matters in production for mid-size runs."""
     import numpy as np
 
-    rows = edges.toPandas()
     src = rows["src"].to_numpy(dtype=np.int64)
     dst = rows["dst"].to_numpy(dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -86,7 +85,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     # explicit schema: an empty pandas frame cannot infer one (a dup-free
     # corpus reaches here with zero edges and must yield zero labels, not
     # a CANNOT_INFER_EMPTY_SCHEMA crash)
-    return edges.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 25,
@@ -109,8 +108,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
     ).filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
 
-    if driver_threshold > 0 and cur.count() <= driver_threshold:
-        return _driver_union_find(cur)
+    if driver_threshold > 0:
+        # one job answers BOTH "how many edges" and "give me the edges":
+        # a limit(threshold+1) collect that comes back with <= threshold
+        # rows IS the complete edge set (the limit did not truncate), so
+        # the old separate count() job — a second full scan of the edge
+        # checkpoint before the collect — is gone (round-6; the driver
+        # path is taken by every bench pipeline, 2 jobs -> 1).
+        head = cur.limit(driver_threshold + 1).toPandas()
+        if len(head) <= driver_threshold:
+            return _driver_union_find(cur.sparkSession, head)
 
     prev_sig = None
     for _ in range(max_iterations):
