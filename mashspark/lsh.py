@@ -112,26 +112,25 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     last counts band ENTRIES in dropped buckets, an upper bound on
     affected docs).
 
-    ``eager=True`` materializes the two shared checkpointed relations
-    (bands, sizes) in order before their multi-consumer fan-out. With
-    eager=False, AQE submits the downstream exchange-materialization jobs
-    CONCURRENTLY, and their tasks race to compute the same lazy
-    checkpoint: the loser blocks on the RDD checkpoint lock (measured: a
-    17 s zero-CPU task stall in a 40 s job at 8 cores) and overlapping
-    partitions compute twice — pure waste that grows with task slots, so
-    it taxes exactly the high-parallelism leg. One ordered pass each is
-    both faster and gives clean linear scaling.
-
-    ``checkpoint=False`` skips the materialization entirely — REQUIRED
-    inside a foreachBatch callback, where localCheckpoint breaks the
-    micro-batch file-sink commit (streaming.process_batch's reproduced
-    constraint); the double-compute it tolerates is a per-trigger
-    micro-batch non-issue.
+    ``eager``/``checkpoint`` are RETAINED FOR API COMPATIBILITY but are
+    no-ops since round 6: earlier rounds eagerly localCheckpointed the
+    band relation and the bucket-size table to stop concurrent AQE
+    exchange-materialization jobs racing on a lazy checkpoint's lock
+    (a measured 17 s zero-CPU stall). Round-6 re-measure: with no
+    checkpoint there is no lock to race on, every consumer (sizes
+    groupBy, hot/cold anti+semi branches, the self-join's two sides)
+    sits in the ONE downstream plan where ReuseExchange shares the
+    band-key exchange, and the band explode itself is cheap JVM column
+    work hanging off the caller's materialized sketch relation — while
+    each eager checkpoint serialized a full extra scan job per run.
+    Interleaved fresh-JVM A/B on the pinned scale job, identical
+    candidate counts: 8 cores 11.8-14.5 s -> 10.6-13.0 s (and the
+    earlier sizes-checkpoint removal measured 14.9-16.2 -> 11.1-12.8);
+    2 cores 39.7-45.9 -> 35.0-38.9. Callers that collect ``metrics``
+    later re-run the cheap explode+groupBy — rare and off the hot path.
     """
-    def _mat(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=eager) if checkpoint else df
-
-    bands = _mat(explode_bands(sketches))
+    del eager, checkpoint  # no-ops since round 6 (see docstring)
+    bands = explode_bands(sketches)
 
     # bucket sizes via groupBy, NOT a window: groupBy does map-side
     # partial aggregation (a hot boilerplate bucket is pre-reduced inside
@@ -141,15 +140,6 @@ def candidate_pairs(sketches: DataFrame, band_doc_cap: int = 1000,
     # two SMALL key sets (hot keys, pruned singleton keys are implicit:
     # singleton buckets simply produce no self-join output), so the fat
     # band relation is never joined against an O(buckets) table.
-    # NOT checkpointed (round-6): the groupBy hangs off the already-
-    # materialized bands checkpoint, so there is no UDF subtree to
-    # protect and no checkpoint-lock race — its consumers (hot_keys'
-    # anti/semi branches) sit in ONE downstream plan where ReuseExchange
-    # shares the aggregation, while the old eager checkpoint serialized
-    # an extra full bands-scan job per run. Interleaved fresh-JVM A/B on
-    # the pinned 8-core scale job: 14.9-16.2 s -> 11.1-12.8 s, identical
-    # candidate counts. (metrics, executed separately by callers that
-    # collect it, re-runs the cheap groupBy from the bands checkpoint.)
     sizes = (
         bands.groupBy("band_key")
         .agg(F.count("*").alias("bucket_n"))
