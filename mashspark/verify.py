@@ -108,8 +108,12 @@ def contain_pairs(cands: DataFrame, sketches: DataFrame,
     if embedded is not None:
         params.check_compatible(embedded)
     sk = sketches.select("doc_id", "sketch", F.lit(0).alias("card_est"))
-    df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
-    df = _attach(df, sk, "id_b", "b", F.col("sketch"))
+    small = _sketch_side_small(sk)
+    if small:
+        cands = cands.repartition(int(sk.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")))
+    df = _attach(cands, sk, "id_a", "a", F.col("sketch"), small=small)
+    df = _attach(df, sk, "id_b", "b", F.col("sketch"), small=small)
     cu = make_contain_udf()
     df = df.withColumn("_c", cu(F.col("sketch_a"), F.col("sketch_b")))
     return df.select(
@@ -145,13 +149,42 @@ def make_pvalue_udf(kmer_space: float, sketch_size: int):
     return pvalue_udf.asNondeterministic()
 
 
+def _sketch_side_small(sk: DataFrame) -> bool:
+    """True when the optimizer's size estimate for the sketch relation
+    is confidently under the broadcast threshold. Checkpointed RDD scans
+    have no stats (estimate = defaultSizeInBytes, effectively infinite),
+    so the big-pipeline path always returns False; parquet-backed or
+    freshly-derived small tables (a 20-ref screen db, a few-hundred-doc
+    ground-truth subset) return True."""
+    try:
+        est = int(sk._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())  # py4j converts the scala BigInt to int
+        thr = int(sk.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"))
+        return 0 < thr and 0 <= est < thr
+    except Exception:  # stats introspection is best-effort only
+        return False
+
+
 def _attach(cands: DataFrame, sk: DataFrame, id_col: str, suffix: str,
-            payload_col) -> DataFrame:
+            payload_col, small: bool = False) -> DataFrame:
     side = sk.select(
         F.col("doc_id").alias(id_col),
         payload_col.alias(f"sketch_{suffix}"),
         F.col("card_est").alias(f"card_{suffix}"),
     )
+    if small:
+        # provably-small sketch side (see _sketch_side_small): broadcast
+        # it so the fat ATTACHED intermediate is never exchanged — the
+        # two sequential shuffle-hash attaches otherwise move
+        # |pairs| x 8 KB rows through the id_b exchange (measured on the
+        # q7 ground-truth stage, 125k exhaustive pairs over a 492-doc
+        # table: 2.2-3.1 s -> 1.5-2.1 s, identical output). Callers
+        # repartition the skinny pair relation first so the merge UDF
+        # still runs at full slot parallelism (a crossJoin/filter output
+        # otherwise inherits the tiny left side's partitioning — the
+        # round-2 4-wide-UDF pathology this hint originally fixed).
+        return cands.join(F.broadcast(side), id_col)
     # shuffle_hash, build side = the skinny pair relation: without the
     # hint AQE broadcasts the (fat, semi-joined) SKETCH side onto the
     # pair relation, so the downstream Arrow-UDF stage inherits the pair
@@ -161,6 +194,8 @@ def _attach(cands: DataFrame, sk: DataFrame, id_col: str, suffix: str,
     # serially built 2x ~300 MB broadcasts). The shuffled-hash join lands
     # both sides on the configured shuffle width, the UDF runs at full
     # slot parallelism, and no fat-row sort or driver broadcast happens.
+    # At web scale the sketch side is never broadcastable, so this stays
+    # the production path.
     return cands.hint("shuffle_hash").join(side, id_col)
 
 
@@ -194,6 +229,14 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
     if embedded is not None:  # refuse mismatched tables (F6, Sketch.cpp:133-160)
         params.check_compatible(embedded)
     sk = sketches.select("doc_id", "sketch", "card_est")
+    small = _sketch_side_small(sk)
+    if small:
+        # broadcast-attach path: the pair relation often arrives with
+        # the partitioning of a tiny crossJoin side — spread it so the
+        # merge UDF runs at full slot width (explicit N: AQE does not
+        # re-coalesce a user-numbered repartition)
+        cands = cands.repartition(int(sk.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")))
     use_prefix = (
         prefix_filter is not None
         and jaccard_threshold is not None
@@ -209,8 +252,8 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         prefix_margin = max(float(prefix_margin), 6.0 * sigma)
         pre = F.substring(F.col("sketch"), 1, int(prefix_filter) * 8)
         pvu = make_verify_udf(int(prefix_filter))
-        tier1 = _attach(cands, sk, "id_a", "a", pre)
-        tier1 = _attach(tier1, sk, "id_b", "b", pre)
+        tier1 = _attach(cands, sk, "id_a", "a", pre, small=small)
+        tier1 = _attach(tier1, sk, "id_b", "b", pre, small=small)
         tier1 = tier1.withColumn(
             "_p", pvu(F.col("sketch_a"), F.col("sketch_b"))
         ).select(
@@ -262,8 +305,8 @@ def verify_pairs(cands: DataFrame, sketches: DataFrame, params: SketchParams,
         # partitioning requirement), the sorts disappear.
         sk = sk.join(surv_ids.hint("shuffle_hash"), "doc_id", "left_semi")
 
-    df = _attach(cands, sk, "id_a", "a", F.col("sketch"))
-    df = _attach(df, sk, "id_b", "b", F.col("sketch"))
+    df = _attach(cands, sk, "id_a", "a", F.col("sketch"), small=small)
+    df = _attach(df, sk, "id_b", "b", F.col("sketch"), small=small)
     return _merge_and_score(df, params, jaccard_threshold=jaccard_threshold,
                             max_distance=max_distance, max_pvalue=max_pvalue,
                             with_pvalue=with_pvalue)
@@ -349,8 +392,14 @@ def cross_dist(ref_sketches: DataFrame, query_sketches: DataFrame,
         cands = cands.filter(F.col("id_a") < F.col("id_b"))
     ra = ref_sketches.select("doc_id", "sketch", "card_est")
     qb = query_sketches.select("doc_id", "sketch", "card_est")
-    df = _attach(cands, ra, "id_a", "a", F.col("sketch"))
-    df = _attach(df, qb, "id_b", "b", F.col("sketch"))
+    small_a, small_b = _sketch_side_small(ra), _sketch_side_small(qb)
+    if small_a and small_b:
+        # both sides broadcast: spread the crossJoin output so the merge
+        # UDF is not bound to the left side's (tiny) partitioning
+        cands = cands.repartition(int(ra.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")))
+    df = _attach(cands, ra, "id_a", "a", F.col("sketch"), small=small_a)
+    df = _attach(df, qb, "id_b", "b", F.col("sketch"), small=small_b)
     return _merge_and_score(df, params, max_distance=max_distance,
                             max_pvalue=max_pvalue, with_pvalue=with_pvalue)
 

@@ -159,3 +159,49 @@ def test_sketch_arrow_matches_pandas(spark):
         assert ra["n_kmers"] == rp["n_kmers"] and ra["card_est"] == rp["card_est"]
         assert list(ra["band_key"]) == list(rp["band_key"]), d
         assert ra["fp1"] == rp["fp1"] and ra["fp2"] == rp["fp2"]
+
+
+def test_verify_broadcast_attach_matches_hint_path(spark, tmp_path):
+    """Round-6: verify_pairs broadcasts the sketch side when its size
+    ESTIMATE is provably small (parquet-backed tables carry real stats;
+    checkpointed scans never qualify). Pin output equality between the
+    two attach strategies on a parquet-backed table, and that the small
+    path actually fires there."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mashspark.params import LSHParams, SketchParams
+    from mashspark.sketch import sketch_documents
+    from mashspark import verify as V
+
+    rng = np.random.default_rng(3)
+    words = ["w%03d" % i for i in range(300)]
+    rows = []
+    for i in range(40):
+        base = " ".join(words[j] for j in rng.integers(0, 300, 80))
+        rows.append((i, base))
+        if i % 3 == 0:
+            rows.append((1000 + i, base + " extra tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sp, lp = SketchParams(s=128), LSHParams(prefix=64)
+    path = str(tmp_path / "sk.parquet")
+    sketch_documents(docs, sp, lp).write.parquet(path)
+    sk = spark.read.parquet(path).select("doc_id", "sketch", "card_est")
+    assert V._sketch_side_small(sk), "parquet-backed small table must qualify"
+
+    ids = sk.select("doc_id")
+    pairs = (ids.withColumnRenamed("doc_id", "id_a")
+             .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+             .filter(F.col("id_a") < F.col("id_b")))
+    got = V.verify_pairs(pairs, sk, sp, jaccard_threshold=0.5,
+                         prefix_filter=None).orderBy("id_a", "id_b").collect()
+    # force the hint path for the same inputs
+    orig = V._sketch_side_small
+    V._sketch_side_small = lambda _sk: False
+    try:
+        ref = V.verify_pairs(pairs, sk, sp, jaccard_threshold=0.5,
+                             prefix_filter=None).orderBy("id_a", "id_b").collect()
+    finally:
+        V._sketch_side_small = orig
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    assert len(got) > 0
